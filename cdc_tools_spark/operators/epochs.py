@@ -1,0 +1,93 @@
+"""Transaction-boundary-safe epoch planning.
+
+The reference paces its pipeline with bounded scans (``TOP {n+1}`` with a
+look-ahead row, CdcRepository.cs:140-219) and windowed sink batches
+(``WindowMs`` OR ``WindowItems``, RedshiftWriter.cs:52-61), and is careful
+never to commit a partially-applied transaction (``MoreOfLastTransaction``,
+ChangeBatch.cs:16, ChangeStreamer.cs:113-118).
+
+The Spark engine replaces all of that with an **epoch planner**: the replay
+range is sliced into contiguous LSN intervals of roughly
+``target_events_per_epoch`` events each. Because epoch boundaries are LSN
+values and membership is ``from_lsn <= lsn <= to_lsn``, an epoch can never
+split a transaction — the invariant the reference enforces imperatively.
+
+Strategies:
+
+* ``"quantile"`` (default) — ``approxQuantile`` over ``lsn``. One pass, no
+  global sort, no driver-side materialization beyond the boundary list;
+  scale-correct at 10^10 events (quantile sketch is mergeable map-side).
+* ``"exact"`` — per-LSN counts + cumulative sum. Exact event budgets, used
+  in tests; the running sum is a single-partition window, so only for
+  small replays.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+@dataclass(frozen=True)
+class Epoch:
+    epoch_id: int
+    from_lsn: int
+    to_lsn: int  # inclusive
+
+    def predicate(self):
+        return (F.col("lsn") >= self.from_lsn) & (F.col("lsn") <= self.to_lsn)
+
+
+def plan_epochs(
+    log: DataFrame,
+    target_events_per_epoch: int,
+    strategy: str = "quantile",
+    relative_error: float = 0.001,
+) -> list[Epoch]:
+    """Slice ``log`` into LSN-contiguous epochs of ~``target`` events."""
+    if strategy == "quantile":
+        return _plan_quantile(log, target_events_per_epoch, relative_error)
+    if strategy == "exact":
+        return _plan_exact(log, target_events_per_epoch)
+    raise ValueError(f"unknown epoch strategy: {strategy!r}")
+
+
+def _plan_quantile(log: DataFrame, target: int, rel_err: float) -> list[Epoch]:
+    n = log.count()
+    if n == 0:
+        return []
+    k = max(1, math.ceil(n / target))
+    probs = [i / k for i in range(1, k)] + [1.0]
+    cuts = [int(c) for c in log.stat.approxQuantile("lsn", probs, rel_err)]
+    min_lsn = log.agg(F.min("lsn")).collect()[0][0]
+
+    epochs: list[Epoch] = []
+    lo = int(min_lsn)
+    for cut in cuts:
+        if cut < lo:
+            continue
+        epochs.append(Epoch(len(epochs), lo, cut))
+        lo = cut + 1
+    return epochs
+
+
+def _plan_exact(log: DataFrame, target: int) -> list[Epoch]:
+    per_lsn = log.groupBy("lsn").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("lsn").rowsBetween(Window.unboundedPreceding, -1)
+    assigned = per_lsn.select(
+        "lsn",
+        (F.coalesce(F.sum("cnt").over(w), F.lit(0)) / target).cast("long").alias("epoch_id"),
+    )
+    rows = (
+        assigned.groupBy("epoch_id")
+        .agg(F.min("lsn").alias("from_lsn"), F.max("lsn").alias("to_lsn"))
+        .orderBy("epoch_id")
+        .collect()
+    )
+    # Re-number densely (cum//target can skip ids when one lsn >> target).
+    return [
+        Epoch(i, int(r["from_lsn"]), int(r["to_lsn"])) for i, r in enumerate(rows)
+    ]

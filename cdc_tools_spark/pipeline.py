@@ -1,0 +1,169 @@
+"""The end-to-end replay driver: binlog tail → compact → MERGE → commit.
+
+This is the Spark-native rewrite of the reference's three pipeline shapes
+(CdcToKafka.Streaming/Program.cs:91-120, KafkaToRedshift/Program.cs:56-58,
+CdcToRedshift/Program.cs:51-136): the per-table reader Task + bounded-buffer
+writer thread pair become a **driver epoch loop**; each epoch is one
+distributed job. Per-table thread parallelism becomes partition parallelism
+inside each epoch, which is how the engine scales from N to 4N executors
+without code change.
+
+Exactly-once: merge is idempotent per epoch (ParquetMergeTable.merge /
+Iceberg MERGE), and an epoch marker is written only after the merge commits
+(CommitLog). Replaying from any checkpoint therefore reproduces the same
+final table state — the reference's store-offset-after-upload argument
+(RedshiftWriter.cs:46-49), strengthened to true exactly-once.
+
+Skew handling is explicit and two-layered:
+* compaction uses ``max_by`` hash aggregation → map-side partial compaction
+  bounds a hot key's shuffle volume by the partition count, not event count
+  (the salting-equivalent: pre-aggregation happens per input partition);
+* the merge's anti-join runs under AQE with skew-join splitting enabled, and
+  the write repartitions by key-hash bucket (explicit repartition-by-key).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from cdc_tools_spark.lake.base import LakeTable
+from cdc_tools_spark.lake.parquet_merge import META_COLS, ParquetMergeTable
+from cdc_tools_spark.operators.compaction import compact_last_write_wins
+from cdc_tools_spark.operators.epochs import Epoch, plan_epochs
+from cdc_tools_spark.sources.binlog import INSERT
+from cdc_tools_spark.state.commit_log import CommitLog, EpochCommit
+
+
+@dataclass
+class ReplayConfig:
+    epoch_events: int = 1_000_000
+    key_cols: tuple[str, ...] = ("repo", "path")
+    num_buckets: int = 64
+    compaction_strategy: str = "max_by"
+    epoch_strategy: str = "quantile"
+    collect_metrics: bool = True
+
+
+@dataclass
+class ReplaySummary:
+    epochs_applied: int = 0
+    epochs_skipped: int = 0  # already committed (exactly-once replay)
+    upserts: int = 0
+    deletes: int = 0
+    redundant_events: int = 0
+    table_version: int = 0
+    commits: list[EpochCommit] = field(default_factory=list)
+
+
+def _payload_schema(df: DataFrame) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(f.name, f.dataType, True)
+            for f in df.schema.fields
+            if f.name not in META_COLS
+        ]
+    )
+
+
+def replay(
+    spark: SparkSession,
+    log: DataFrame,
+    table_root: str,
+    state_root: str,
+    execution_id: str = "run-0",
+    config: ReplayConfig | None = None,
+    table: LakeTable | None = None,
+    epoch_provider: Callable[[Epoch], DataFrame] | None = None,
+    max_epochs: int | None = None,
+) -> ReplaySummary:
+    """Replay an ordered change-event log into a lake table, exactly once.
+
+    ``epoch_provider`` lets callers supply each epoch's batch with its own
+    schema (per-epoch schema evolution, FIXTURES.md F5); the default slices
+    ``log`` by the epoch's LSN range — Catalyst pushes that predicate into
+    the binlog scan (partition pruning on an lsn-partitioned log store).
+
+    ``max_epochs`` exists for crash-replay tests: stop after N epochs as if
+    the driver died; a re-run resumes from the commit log.
+    """
+    config = config or ReplayConfig()
+    commit_log = CommitLog(state_root, execution_id)
+
+    if table is None:
+        table = ParquetMergeTable(spark, table_root, config.key_cols)
+        if not table.exists():
+            ParquetMergeTable.create(
+                spark, table_root, _payload_schema(log), config.key_cols, config.num_buckets
+            )
+
+    epochs = plan_epochs(log, config.epoch_events, config.epoch_strategy)
+    provider = epoch_provider or (lambda e: log.where(e.predicate()))
+
+    summary = ReplaySummary()
+    for epoch in epochs:
+        if max_epochs is not None and summary.epochs_applied >= max_epochs:
+            break
+        if commit_log.is_committed(epoch.epoch_id):
+            summary.epochs_skipped += 1
+            continue
+        batch = provider(epoch)
+        compacted = compact_last_write_wins(
+            batch, config.key_cols, strategy=config.compaction_strategy
+        )
+        result = table.merge(compacted, epoch.epoch_id, config.collect_metrics)
+        raw_count = batch.count() if config.collect_metrics else 0
+        rec = EpochCommit(
+            execution_id=execution_id,
+            table_name=commit_log.table_name,
+            epoch=epoch.epoch_id,
+            from_lsn=epoch.from_lsn,
+            to_lsn=epoch.to_lsn,
+            applied_upserts=result.upserts,
+            applied_deletes=result.deletes,
+            skipped_events=max(0, raw_count - result.upserts - result.deletes),
+            table_version=result.version,
+            partition_lineage={str(k): v for k, v in result.partition_lineage.items()},
+        )
+        commit_log.commit(rec)
+        summary.commits.append(rec)
+        summary.epochs_applied += 1
+        summary.upserts += result.upserts
+        summary.deletes += result.deletes
+        summary.redundant_events += rec.skipped_events
+        summary.table_version = result.version
+    return summary
+
+
+def full_load(
+    spark: SparkSession,
+    snapshot: DataFrame,
+    table_root: str,
+    state_root: str,
+    execution_id: str = "run-0",
+    config: ReplayConfig | None = None,
+) -> ReplaySummary:
+    """Initial snapshot sync (the reference's full-load mode,
+    FullLoadStreamer.cs:74-132): every snapshot row becomes an INSERT with a
+    synthetic LSN *below* the CDC range (lsn = -1), mirroring the
+    synthetic-ascending-LSN trick at FullLoadStreamer.cs:141-142; the CDC
+    tail then replays from lsn >= 0 on the same table."""
+    config = config or ReplayConfig()
+    as_events = snapshot.select(
+        F.lit(-1).cast("long").alias("lsn"),
+        F.monotonically_increasing_id().alias("seqval"),
+        F.lit(INSERT).alias("change_type"),
+        *[F.col(c) for c in snapshot.columns],
+    )
+    return replay(
+        spark,
+        as_events,
+        table_root,
+        state_root,
+        execution_id=execution_id,
+        config=config,
+    )

@@ -1,0 +1,103 @@
+"""Epoch/offset commit log — the exactly-once marker table.
+
+Mirrors the reference's ``ChangeState`` table keyed by
+``(ExecutionId, TableName)`` (CdcReader.Database/Tables/ChangeState.sql:1-12,
+StateManager.cs:28-81), generalized from "last offset" to one immutable
+marker per epoch (FIXTURES.md F4), carrying the applied/skipped metrics and
+per-partition lineage.
+
+Protocol (same ordering argument as the reference's
+store-offset-after-upload, RedshiftWriter.cs:46-49):
+
+1. merge epoch N into the lake table (idempotent);
+2. write marker N (atomic file create).
+
+Crash between 1 and 2 → replay re-merges N: idempotent, no double-apply.
+Marker present → epoch skipped on replay. Net effect: exactly-once.
+
+One JSON file per epoch keeps markers immutable and the "is epoch N
+committed?" check O(1); on a real cluster the directory would live on the
+shared store (S3/HDFS) with conditional put.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class EpochCommit:
+    execution_id: str
+    table_name: str
+    epoch: int
+    from_lsn: int
+    to_lsn: int
+    applied_upserts: int = 0
+    applied_deletes: int = 0
+    skipped_events: int = 0  # redundant changes eliminated by compaction
+    table_version: int = 0
+    partition_lineage: dict[str, int] = field(default_factory=dict)
+
+
+class CommitLog:
+    def __init__(self, root: str, execution_id: str, table_name: str = "repo_files"):
+        self.execution_id = execution_id
+        self.table_name = table_name
+        self.dir = os.path.join(root, f"execution_id={execution_id}", f"table={table_name}")
+        os.makedirs(self.dir, exist_ok=True)
+
+    def _path(self, epoch: int) -> str:
+        return os.path.join(self.dir, f"epoch-{epoch:010d}.json")
+
+    def is_committed(self, epoch: int) -> bool:
+        return os.path.exists(self._path(epoch))
+
+    def commit(self, rec: EpochCommit) -> None:
+        """Atomic, immutable marker write. Re-committing an epoch is a no-op
+        (idempotent replay may race a marker that already exists)."""
+        path = self._path(rec.epoch)
+        if os.path.exists(path):
+            return
+        fd, tmp = tempfile.mkstemp(dir=self.dir, prefix=".epoch-", suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(asdict(rec), fh)
+        os.replace(tmp, path)
+
+    def committed_epochs(self) -> list[int]:
+        return sorted(
+            int(f[len("epoch-") : -len(".json")])
+            for f in os.listdir(self.dir)
+            if f.startswith("epoch-") and f.endswith(".json")
+        )
+
+    def records(self) -> list[EpochCommit]:
+        out = []
+        for e in self.committed_epochs():
+            with open(self._path(e)) as fh:
+                out.append(EpochCommit(**json.load(fh)))
+        return out
+
+    def last_committed(self) -> EpochCommit | None:
+        epochs = self.committed_epochs()
+        if not epochs:
+            return None  # the reference's NoStoredState sentinel
+        with open(self._path(epochs[-1])) as fh:
+            return EpochCommit(**json.load(fh))
+
+    def as_dataframe(self, spark: SparkSession) -> DataFrame:
+        """The commit log as a metrics DataFrame (F4 shape)."""
+        rows = [
+            {**asdict(r), "partition_lineage": json.dumps(r.partition_lineage)}
+            for r in self.records()
+        ]
+        schema = (
+            "execution_id string, table_name string, epoch long, from_lsn long, "
+            "to_lsn long, applied_upserts long, applied_deletes long, "
+            "skipped_events long, table_version long, partition_lineage string"
+        )
+        return spark.createDataFrame(rows, schema=schema)

@@ -1,0 +1,148 @@
+import pyspark.sql.functions as F
+from pyspark.sql import types as T
+
+from cdc_tools_spark.lake.iceberg import IcebergTable
+from cdc_tools_spark.lake.parquet_merge import ParquetMergeTable, evolve_schema
+
+EVENT_SCHEMA = (
+    "lsn long, seqval long, change_type int, repo string, path string, "
+    "commit string, lang string, content string"
+)
+PAYLOAD = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), True),
+        T.StructField("path", T.StringType(), True),
+        T.StructField("commit", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, schema=EVENT_SCHEMA)
+
+
+def _row(lsn, ct, repo, path, content):
+    return {"lsn": lsn, "seqval": 0, "change_type": ct, "repo": repo, "path": path,
+            "commit": f"c{lsn}", "lang": "py", "content": content}
+
+
+def _state(table):
+    return {(r["repo"], r["path"]): r["content"] for r in table.read().collect()}
+
+
+def test_merge_upsert_delete_cycle(spark, tmp_path):
+    root = str(tmp_path / "t1")
+    table = ParquetMergeTable.create(spark, root, PAYLOAD, num_buckets=8)
+
+    r1 = table.merge(_batch(spark, [_row(1, 2, "r", "a", "v1"), _row(1, 2, "r", "b", "v1")]), 0)
+    assert r1.upserts == 2 and r1.deletes == 0
+    assert _state(table) == {("r", "a"): "v1", ("r", "b"): "v1"}
+
+    # update a, delete b, insert c
+    r2 = table.merge(
+        _batch(spark, [_row(2, 4, "r", "a", "v2"), _row(2, 1, "r", "b", None),
+                       _row(2, 2, "r", "c", "v1")]), 1)
+    assert r2.upserts == 2 and r2.deletes == 1
+    assert _state(table) == {("r", "a"): "v2", ("r", "c"): "v1"}
+
+    # delete of a non-existent key is a no-op (idempotent delete)
+    table.merge(_batch(spark, [_row(3, 1, "r", "zzz", None)]), 2)
+    assert _state(table) == {("r", "a"): "v2", ("r", "c"): "v1"}
+
+
+def test_merge_is_idempotent(spark, tmp_path):
+    root = str(tmp_path / "t2")
+    table = ParquetMergeTable.create(spark, root, PAYLOAD, num_buckets=4)
+    batch = _batch(spark, [_row(1, 2, "r", "a", "v1"), _row(1, 1, "r", "b", None)])
+    table.merge(batch, 0)
+    s1 = _state(table)
+    table.merge(batch, 0)  # crash-replay of the same epoch
+    assert _state(table) == s1
+
+
+def test_only_touched_buckets_rewritten(spark, tmp_path):
+    root = str(tmp_path / "t3")
+    table = ParquetMergeTable.create(spark, root, PAYLOAD, num_buckets=16)
+    big = _batch(spark, [_row(1, 2, "r", f"p{i}", f"v{i}") for i in range(200)])
+    r1 = table.merge(big, 0)
+    assert r1.touched_partitions > 8  # spread over most buckets
+    one = _batch(spark, [_row(2, 4, "r", "p0", "v0b")])
+    r2 = table.merge(one, 1)
+    assert r2.touched_partitions == 1  # partition-pruned merge
+    st = _state(table)
+    assert st[("r", "p0")] == "v0b" and len(st) == 200
+    # untouched buckets still point at version 1
+    m = table._load()
+    assert sorted(set(m["buckets"].values())) == [1, 2]
+
+
+def test_schema_evolution_add_and_widen(spark, tmp_path):
+    root = str(tmp_path / "t4")
+    narrow = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), True),
+            T.StructField("path", T.StringType(), True),
+            T.StructField("stars", T.IntegerType(), True),
+        ]
+    )
+    table = ParquetMergeTable.create(spark, root, narrow, num_buckets=4)
+    b1 = spark.createDataFrame(
+        [{"lsn": 1, "seqval": 0, "change_type": 2, "repo": "r", "path": "a", "stars": 5}],
+        schema="lsn long, seqval long, change_type int, repo string, path string, stars int",
+    )
+    table.merge(b1, 0)
+    # epoch 2 arrives with an added column and a widened type (F5)
+    b2 = spark.createDataFrame(
+        [{"lsn": 2, "seqval": 0, "change_type": 2, "repo": "r", "path": "b",
+          "stars": 2**40, "size": 123}],
+        schema="lsn long, seqval long, change_type int, repo string, path string, "
+                "stars long, size long",
+    )
+    table.merge(b2, 1)
+    got = {r["path"]: r for r in table.read().collect()}
+    assert table.schema()["stars"].dataType == T.LongType()
+    assert got["a"]["stars"] == 5 and got["a"]["size"] is None  # old row, new schema
+    assert got["b"]["stars"] == 2**40 and got["b"]["size"] == 123
+
+
+def test_time_travel(spark, tmp_path):
+    root = str(tmp_path / "t5")
+    table = ParquetMergeTable.create(spark, root, PAYLOAD, num_buckets=4)
+    table.merge(_batch(spark, [_row(1, 2, "r", "a", "v1")]), 0)
+    table.merge(_batch(spark, [_row(2, 4, "r", "a", "v2")]), 1)
+    assert table.read_version(1).collect()[0]["content"] == "v1"
+    assert table.read_version(2).collect()[0]["content"] == "v2"
+
+
+def test_evolve_schema_rules():
+    a = T.StructType([T.StructField("x", T.IntegerType(), True)])
+    b = T.StructType([T.StructField("x", T.LongType(), True),
+                      T.StructField("y", T.StringType(), True)])
+    out, changed = evolve_schema(a, b)
+    assert changed and out["x"].dataType == T.LongType() and "y" in out.fieldNames()
+    # no narrowing: long stays long when an int arrives
+    out2, changed2 = evolve_schema(out, a)
+    assert not changed2 and out2["x"].dataType == T.LongType()
+    # int chain × float chain promotes to double
+    c = T.StructType([T.StructField("x", T.FloatType(), True)])
+    out3, _ = evolve_schema(a, c)
+    assert out3["x"].dataType == T.DoubleType()
+
+
+def test_iceberg_sql_generation(spark, monkeypatch):
+    t = IcebergTable(spark, "lake.repo_files", execute=False)
+    t.create(PAYLOAD, num_buckets=32)
+    create_sql = t.statements[0]
+    assert "USING iceberg" in create_sql and "bucket(32, `path`)" in create_sql
+    assert "write.distribution-mode" in create_sql
+
+    monkeypatch.setattr(t, "evolve", lambda incoming: None)  # no live catalog here
+    batch = spark.createDataFrame([_row(1, 2, "r", "a", "v1")], schema=EVENT_SCHEMA)
+    t.merge(batch, epoch_id=0, collect_metrics=False)
+    merge_sql = t.statements[-1]
+    assert "MERGE INTO lake.repo_files t" in merge_sql
+    assert "t.`repo` = s.`repo` AND t.`path` = s.`path`" in merge_sql
+    assert "WHEN MATCHED AND s.change_type = 1 THEN DELETE" in merge_sql
+    assert "WHEN NOT MATCHED AND s.change_type != 1 THEN INSERT" in merge_sql

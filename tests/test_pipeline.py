@@ -1,0 +1,163 @@
+import hashlib
+
+import pyspark.sql.functions as F
+
+from cdc_tools_spark.lake.parquet_merge import ParquetMergeTable
+from cdc_tools_spark.operators.compaction import compact_last_write_wins
+from cdc_tools_spark.pipeline import ReplayConfig, full_load, replay
+from cdc_tools_spark.sources.binlog import synthetic_binlog
+from cdc_tools_spark.state.commit_log import CommitLog
+from tests.conftest import EVENT_SCHEMA, pandas_replay, person_scenario
+
+CFG = ReplayConfig(epoch_events=6, num_buckets=8, epoch_strategy="exact")
+
+
+def _final_state(spark, root):
+    t = ParquetMergeTable(spark, root)
+    return {(r["repo"], r["path"]): r for r in t.read().collect()}
+
+
+def _sha_set(state):
+    return {
+        (k, hashlib.sha256(str(v["content"]).encode()).hexdigest()) for k, v in state.items()
+    }
+
+
+def test_golden_person_scenario(spark, tmp_path):
+    """FIXTURES.md F3: engine replay == independent pandas oracle, compared
+    by per-row sha256(content) (the BASELINE.json parity invariant)."""
+    events, oracle = person_scenario()
+    log = spark.createDataFrame(events, schema=EVENT_SCHEMA)
+    summary = replay(spark, log, str(tmp_path / "table"), str(tmp_path / "state"), config=CFG)
+
+    got = _final_state(spark, str(tmp_path / "table"))
+    assert set(got) == set(oracle)
+    assert _sha_set({k: v for k, v in got.items()}) == _sha_set(oracle)
+    assert ("people", "1") in got and "Jamie" in got[("people", "1")]["content"]
+    assert not any(r == "addresses" for r, _ in got)
+    assert summary.epochs_applied >= 2
+    assert summary.redundant_events > 0  # compaction eliminated intermediates
+
+
+def test_exactly_once_and_crash_replay(spark, tmp_path):
+    events, oracle = person_scenario()
+    log = spark.createDataFrame(events, schema=EVENT_SCHEMA)
+    table_root, state_root = str(tmp_path / "t"), str(tmp_path / "s")
+
+    # "crash" after 2 epochs
+    s1 = replay(spark, log, table_root, state_root, config=CFG, max_epochs=2)
+    assert s1.epochs_applied == 2
+    # resume: must skip committed epochs and converge to the oracle
+    s2 = replay(spark, log, table_root, state_root, config=CFG)
+    assert s2.epochs_skipped == 2
+    got = _final_state(spark, table_root)
+    assert _sha_set(got) == _sha_set(oracle)
+
+    # replay again from scratch: everything committed → zero work, same state
+    s3 = replay(spark, log, table_root, state_root, config=CFG)
+    assert s3.epochs_applied == 0 and s3.epochs_skipped == s1.epochs_applied + s2.epochs_applied
+    assert _sha_set(_final_state(spark, table_root)) == _sha_set(oracle)
+
+    # one immutable marker per epoch, monotone lsn ranges
+    clog = CommitLog(state_root, "run-0")
+    recs = clog.records()
+    assert [r.epoch for r in recs] == sorted({r.epoch for r in recs})
+    for a, b in zip(recs, recs[1:]):
+        assert b.from_lsn == a.to_lsn + 1
+
+
+def test_replay_idempotent_even_without_commit_marker(spark, tmp_path):
+    """Crash between merge and marker: re-merging the epoch is harmless."""
+    events, oracle = person_scenario()
+    log = spark.createDataFrame(events, schema=EVENT_SCHEMA)
+    table_root = str(tmp_path / "t")
+    replay(spark, log, table_root, str(tmp_path / "s1"), config=CFG)
+    state_after = _sha_set(_final_state(spark, table_root))
+    # fresh state dir = no markers: every epoch re-merges onto the same table
+    replay(spark, log, table_root, str(tmp_path / "s2"), config=CFG)
+    assert _sha_set(_final_state(spark, table_root)) == state_after == _sha_set(oracle)
+
+
+def test_full_load_then_tail(spark, tmp_path):
+    snapshot = spark.createDataFrame(
+        [("r1", "a", "c0", "py", "base-a"), ("r1", "b", "c0", "py", "base-b")],
+        schema="repo string, path string, commit string, lang string, content string",
+    )
+    table_root, state_root = str(tmp_path / "t"), str(tmp_path / "s")
+    full_load(spark, snapshot, table_root, state_root, execution_id="fl", config=CFG)
+    st = _final_state(spark, table_root)
+    assert st[("r1", "a")]["content"] == "base-a" and len(st) == 2
+
+    tail = spark.createDataFrame(
+        [
+            {"lsn": 0, "seqval": 0, "change_type": 4, "repo": "r1", "path": "a",
+             "commit": "c1", "lang": "py", "content": "v2"},
+            {"lsn": 1, "seqval": 0, "change_type": 1, "repo": "r1", "path": "b",
+             "commit": None, "lang": None, "content": None},
+            {"lsn": 1, "seqval": 1, "change_type": 2, "repo": "r1", "path": "c",
+             "commit": "c2", "lang": "py", "content": "new-c"},
+        ],
+        schema=EVENT_SCHEMA,
+    )
+    replay(spark, tail, table_root, state_root, execution_id="tail", config=CFG)
+    st = _final_state(spark, table_root)
+    assert {k: v["content"] for k, v in st.items()} == {
+        ("r1", "a"): "v2",
+        ("r1", "c"): "new-c",
+    }
+
+
+def test_per_epoch_schema_evolution(spark, tmp_path):
+    """FIXTURES.md F5: epochs after the marker carry an added column; the
+    table evolves before that epoch's merge and old rows read as null."""
+    base = spark.createDataFrame(
+        [{"lsn": 0, "seqval": 0, "change_type": 2, "repo": "r", "path": "a",
+          "commit": "c0", "lang": "py", "content": "v1"}],
+        schema=EVENT_SCHEMA,
+    )
+    evolved = spark.createDataFrame(
+        [{"lsn": 10, "seqval": 0, "change_type": 2, "repo": "r", "path": "b",
+          "commit": "c1", "lang": "py", "content": "v1", "size": 42}],
+        schema=EVENT_SCHEMA + ", size long",
+    )
+    log = base.unionByName(evolved, allowMissingColumns=True)
+
+    def provider(epoch):
+        df = evolved if epoch.from_lsn >= 10 else base
+        return df.where(epoch.predicate())
+
+    replay(
+        spark, log, str(tmp_path / "t"), str(tmp_path / "s"),
+        config=ReplayConfig(epoch_events=1, num_buckets=4, epoch_strategy="exact"),
+        epoch_provider=provider,
+    )
+    st = _final_state(spark, str(tmp_path / "t"))
+    assert st[("r", "a")]["size"] is None
+    assert st[("r", "b")]["size"] == 42
+
+
+def test_skewed_replay_matches_declarative_oracle(spark, tmp_path):
+    """FIXTURES.md F6: 50% of events on a handful of hot keys; multi-epoch
+    engine replay equals a single declarative last-write-wins over the whole
+    log, by sha256(content)."""
+    log = synthetic_binlog(spark, 8_000, n_keys=400, hot_key_pct=50, n_hot_keys=3, seed=11)
+    cfg = ReplayConfig(epoch_events=2_000, num_buckets=16, epoch_strategy="quantile")
+    summary = replay(spark, log, str(tmp_path / "t"), str(tmp_path / "s"), config=cfg)
+    assert summary.epochs_applied >= 3
+
+    oracle = (
+        compact_last_write_wins(log)
+        .where(F.col("change_type") != 1)
+        .select("repo", "path", F.sha2("content", 256).alias("h"))
+    )
+    got = (
+        ParquetMergeTable(spark, str(tmp_path / "t"))
+        .read()
+        .select("repo", "path", F.sha2("content", 256).alias("h"))
+    )
+    assert got.count() == oracle.count()
+    assert got.exceptAll(oracle).count() == 0
+
+    # lineage metrics exist for every epoch and cover all touched buckets
+    recs = CommitLog(str(tmp_path / "s"), "run-0").records()
+    assert all(r.partition_lineage for r in recs)
