@@ -20,6 +20,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
 
 
 def sha256_hex(col: Column | str) -> Column:
@@ -28,7 +29,9 @@ def sha256_hex(col: Column | str) -> Column:
     return F.sha2(c.cast("string"), 256)
 
 
-@pandas_udf("string")
+# returnType as a DataType object (not a DDL string): DDL parsing would
+# require an active SparkContext at import time.
+@pandas_udf(StringType())
 def sha256_hex_pandas(s: pd.Series) -> pd.Series:
     # One Arrow batch in, one out; hashlib per element inside the batch —
     # no JVM↔Python round-trip per row (the reference's per-row dictionary

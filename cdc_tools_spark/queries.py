@@ -1,0 +1,361 @@
+"""Driver-facing query registry: every implemented operator from SURVEY.md §2
+as a (Spark callable, DuckDB oracle SQL) pair.
+
+Each Spark callable takes ``(spark, sf_dir)`` and returns a DataFrame whose
+column names/types match the oracle exactly (the driver compares row count,
+schema, and an order-insensitive value hash). CDC queries run over the
+changelog derived from ``events.parquet`` through one SQL derivation shared
+verbatim with the oracle (:func:`cdc_tools_spark.sources.binlog.changelog_sql`),
+so the whole chain — derivation → operator → result — is oracle-checked.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from cdc_tools_spark.functions.hashing import change_key, sha256_hex_pandas
+from cdc_tools_spark.lake.parquet_merge import ParquetMergeTable
+from cdc_tools_spark.operators.compaction import compact_last_write_wins
+from cdc_tools_spark.operators.epochs import plan_epochs
+from cdc_tools_spark.operators.transactions import group_transactions
+from cdc_tools_spark.pipeline import ReplayConfig, replay
+from cdc_tools_spark.sources.binlog import changelog_from_events, changelog_sql
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_LOG_CTE = "WITH log AS ({log})".format(log=changelog_sql("duckdb"))
+
+# The declarative last-write-wins core, shared by several oracles
+# (reference: S3Uploader.GetValidChanges, S3Uploader.cs:120-136).
+_COMPACTED_CTE = (
+    _LOG_CTE
+    + """,
+admitted AS (SELECT * FROM log WHERE change_type <> 3),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY repo, path ORDER BY lsn DESC, seqval DESC) AS rn
+  FROM admitted),
+compacted AS (SELECT * FROM ranked WHERE rn = 1)
+"""
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# CDC engine queries (SURVEY.md §2.1–2.7)
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S9: the ordered change-event scan itself."""
+    return changelog_from_events(spark, sf_dir)
+
+
+def q_cdc_lsn_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2: LSN-interval scan with mid-transaction resume — the tuple
+    inequality ``(lsn > lo) OR (lsn = lo AND seqval >= sv)`` plus upper
+    bound (CdcRepository.cs:60-138)."""
+    log = changelog_from_events(spark, sf_dir)
+    lo, sv, hi = 500, 2, 1500
+    return log.where(
+        ((F.col("lsn") > lo) | ((F.col("lsn") == lo) & (F.col("seqval") >= sv)))
+        & (F.col("lsn") <= hi)
+    )
+
+
+def q_cdc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1+C2: per-key last-write-wins over the full log (max_by strategy)."""
+    return compact_last_write_wins(changelog_from_events(spark, sf_dir))
+
+
+def q_cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full engine replay — epoch planning, per-epoch compaction,
+    bucketed MERGE, exactly-once commit log — then the final table state
+    with the sha256(content) parity column computed through the
+    Arrow-vectorized pandas UDF (BASELINE.json invariant)."""
+    log = changelog_from_events(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="cdc_replay_")
+    cfg = ReplayConfig(epoch_events=2_000, num_buckets=16, epoch_strategy="quantile",
+                       collect_metrics=False)
+    replay(spark, log, os.path.join(work, "table"), os.path.join(work, "state"), config=cfg)
+    final = ParquetMergeTable(spark, os.path.join(work, "table")).read()
+    return final.select(
+        "repo", "path", "commit", "lang", "content",
+        sha256_hex_pandas(F.col("content")).alias("content_sha256"),
+    )
+
+
+def q_cdc_upsert_delete_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2/K3: per-repo split of the compacted batch into upsert and delete
+    sets (the reference's two staging documents)."""
+    compacted = compact_last_write_wins(changelog_from_events(spark, sf_dir))
+    return compacted.groupBy("repo").agg(
+        F.sum(F.when(F.col("change_type") == 1, 1).otherwise(0)).cast("long").alias("n_deletes"),
+        F.sum(F.when(F.col("change_type") != 1, 1).otherwise(0)).cast("long").alias("n_upserts"),
+    )
+
+
+def q_cdc_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: transaction regrouping — one row per commit LSN."""
+    out = group_transactions(changelog_from_events(spark, sf_dir))
+    return out.select(
+        "lsn",
+        F.col("n_changes").cast("long").alias("n_changes"),
+        F.col("n_keys").cast("long").alias("n_keys"),
+        "first_seqval", "last_seqval",
+        F.col("n_deletes").cast("long").alias("n_deletes"),
+        F.col("n_inserts").cast("long").alias("n_inserts"),
+        F.col("n_updates").cast("long").alias("n_updates"),
+    )
+
+
+def q_cdc_watermarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S4: min/max LSN high/low-water marks + event count."""
+    return changelog_from_events(spark, sf_dir).agg(
+        F.min("lsn").alias("min_lsn"),
+        F.max("lsn").alias("max_lsn"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_cdc_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch planner (exact strategy): transaction-boundary-safe LSN slices
+    of ~500 events."""
+    log = changelog_from_events(spark, sf_dir)
+    epochs = plan_epochs(log, target_events_per_epoch=500, strategy="exact")
+    return spark.createDataFrame(
+        [(e.epoch_id, e.from_lsn, e.to_lsn) for e in epochs],
+        schema="epoch_id long, from_lsn long, to_lsn long",
+    )
+
+
+def q_cdc_changekey_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 + A4: flattened ChangeKey construction and per-repo distinct-key /
+    redundancy metrics ('N redundant changes were omitted')."""
+    log = changelog_from_events(spark, sf_dir).withColumn(
+        "change_key", change_key("repo", "path")
+    )
+    return log.groupBy("repo").agg(
+        F.countDistinct("change_key").alias("n_keys"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.count(F.lit(1)) - F.countDistinct("change_key")).alias("n_redundant"),
+    )
+
+
+def q_cdc_sha256_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: the vectorized pandas-UDF sha256 versus the oracle's digest on
+    every compacted row — proves the Python boundary is Arrow-batched and
+    loss-free (zero per-row Python)."""
+    compacted = compact_last_write_wins(changelog_from_events(spark, sf_dir))
+    return compacted.where(F.col("change_type") != 1).select(
+        "repo", "path",
+        sha256_hex_pandas(F.col("content")).alias("content_sha256"),
+    )
+
+
+_CDC_ORACLES: dict[str, str] = {
+    "cdc_changelog": changelog_sql("duckdb"),
+    "cdc_lsn_range_scan": _LOG_CTE
+    + """
+SELECT * FROM log
+WHERE ((lsn > 500) OR (lsn = 500 AND seqval >= 2)) AND lsn <= 1500
+""",
+    "cdc_compaction": _COMPACTED_CTE
+    + """
+SELECT lsn, seqval, change_type, repo, path, "commit", lang, content FROM compacted
+""",
+    "cdc_replay_final_state": _COMPACTED_CTE
+    + """
+SELECT repo, path, "commit", lang, content, sha256(content) AS content_sha256
+FROM compacted WHERE change_type <> 1
+""",
+    "cdc_upsert_delete_split": _COMPACTED_CTE
+    + """
+SELECT repo,
+  CAST(sum(CASE WHEN change_type = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+  CAST(sum(CASE WHEN change_type <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_upserts
+FROM compacted GROUP BY repo
+""",
+    "cdc_transactions": _LOG_CTE
+    + """
+SELECT lsn,
+  CAST(count(*) AS BIGINT) AS n_changes,
+  CAST(count(DISTINCT repo || '|' || path) AS BIGINT) AS n_keys,
+  min(seqval) AS first_seqval,
+  max(seqval) AS last_seqval,
+  CAST(sum(CASE WHEN change_type = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+  CAST(sum(CASE WHEN change_type = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts,
+  CAST(sum(CASE WHEN change_type = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_updates
+FROM log GROUP BY lsn
+""",
+    "cdc_watermarks": _LOG_CTE
+    + """
+SELECT min(lsn) AS min_lsn, max(lsn) AS max_lsn, CAST(count(*) AS BIGINT) AS n_events
+FROM log
+""",
+    "cdc_epoch_plan": _LOG_CTE
+    + """,
+per_lsn AS (SELECT lsn, count(*) AS cnt FROM log GROUP BY lsn),
+cum AS (
+  SELECT lsn, COALESCE(sum(cnt) OVER (
+    ORDER BY lsn ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM per_lsn),
+grouped AS (
+  SELECT CAST(floor(before / 500) AS BIGINT) AS eid, min(lsn) AS from_lsn, max(lsn) AS to_lsn
+  FROM cum GROUP BY 1)
+SELECT CAST(row_number() OVER (ORDER BY from_lsn) - 1 AS BIGINT) AS epoch_id,
+       from_lsn, to_lsn
+FROM grouped
+""",
+    "cdc_changekey_dedup": _LOG_CTE
+    + """
+SELECT repo,
+  CAST(count(DISTINCT repo || '|' || path) AS BIGINT) AS n_keys,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(*) - count(DISTINCT repo || '|' || path) AS BIGINT) AS n_redundant
+FROM log GROUP BY repo
+""",
+    "cdc_sha256_parity": _COMPACTED_CTE
+    + """
+SELECT repo, path, sha256(content) AS content_sha256
+FROM compacted WHERE change_type <> 1
+""",
+}
+
+
+# ---------------------------------------------------------------------------
+# Relational breadth: TPC-H-style joins/aggregations + event windows
+# (exercises the same Catalyst surface the merge join relies on)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem with a broadcast of the small dims —
+    revenue per market segment and order status."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_nation_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region ⋈ nation ⋈ customer ⋈ orders star join (broadcast dims)."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (W1 analog in batch form)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd HH").alias("hour"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+_RELATIONAL_ORACLES = {
+    "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+    "top_customer_revenue": """
+SELECT c_mktsegment, o_orderstatus,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment, o_orderstatus
+""",
+    "nation_order_volume": """
+SELECT r_name, n_name,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  round(sum(o_totalprice), 2) AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+    "events_hourly": """
+SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {
+        "cdc_changelog": q_cdc_changelog,
+        "cdc_lsn_range_scan": q_cdc_lsn_range_scan,
+        "cdc_compaction": q_cdc_compaction,
+        "cdc_replay_final_state": q_cdc_replay_final_state,
+        "cdc_upsert_delete_split": q_cdc_upsert_delete_split,
+        "cdc_transactions": q_cdc_transactions,
+        "cdc_watermarks": q_cdc_watermarks,
+        "cdc_epoch_plan": q_cdc_epoch_plan,
+        "cdc_changekey_dedup": q_cdc_changekey_dedup,
+        "cdc_sha256_parity": q_cdc_sha256_parity,
+        "pricing_summary": q_pricing_summary,
+        "top_customer_revenue": q_top_customer_revenue,
+        "nation_order_volume": q_nation_order_volume,
+        "events_hourly": q_events_hourly,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {**_CDC_ORACLES, **_RELATIONAL_ORACLES}
