@@ -1,0 +1,201 @@
+"""Deduplication operators for training-data pipelines.
+
+All hashing is md5/sha2 over strings, so every operator has a bit-identical
+DuckDB oracle (no engine-specific hash functions). Canonical definitions:
+
+* **exact** — groups keyed by ``sha256(text)``; representative = min doc_id.
+* **word shingles** — distinct n-grams of whitespace tokens joined by one
+  space.
+* **MinHash** — for seed s, ``min(md5(s || ':' || shingle))`` over the
+  doc's distinct shingles (hex-string min = lexicographic). LSH bands of
+  ``rows_per_band`` seeds; band key = md5 of the band's minhashes joined in
+  seed order; candidates = distinct doc pairs sharing a band key.
+* **SimHash** — 64-bit: per distinct token, bits of the first 16 hex chars
+  of ``md5(token)``; signature bit b = 1 iff Σ(2·bit−1) > 0.
+
+Scale notes: shingle explosion is linear in corpus size; the LSH band join
+is the standard near-dup path at 100 TB (candidates only, never all pairs);
+the n-gram Jaccard join is quadratic per shared shingle and exists as the
+verifier for candidate pairs, not as the discovery path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct content hash: group size + representative doc."""
+    return (
+        df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("text_sha256"))
+        .groupBy("text_sha256")
+        .agg(
+            F.min(id_col).alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+def word_shingles(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct word n-grams per document: (id, shingle) rows.
+
+    Array-native construction (transform over an index sequence) — no
+    explode-then-window shuffle; stays inside whole-stage codegen.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All doc pairs with shingle-set Jaccard ≥ threshold.
+
+    Join on shared shingle prunes to pairs with ≥1 common shingle; exact
+    Jaccard from |A∩B| and per-doc shingle counts. The verify stage of the
+    near-dup pipeline."""
+    sh = word_shingles(df, n, text_col, id_col)
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, seed, minhash) — minhash = min md5 over salted shingles."""
+    sh = word_shingles(df, n, text_col, id_col)
+    seeded = sh.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+        F.col("shingle"),
+    )
+    return seeded.groupBy(id_col, "seed").agg(
+        F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))).alias(
+            "minhash"
+        )
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    num_hashes: int = 32,
+    rows_per_band: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct candidate near-dup pairs: docs sharing ≥1 LSH band key.
+
+    This is the discovery path that scales: band keys shuffle once
+    (|docs| × bands rows), the self-join runs per band-key bucket, and no
+    all-pairs comparison ever happens."""
+    sig = minhash_signatures(df, num_hashes, n, text_col, id_col)
+    bands = (
+        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                        lambda s: s["minhash"],
+                    ),
+                )
+            ).alias("band_key")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, on=["band", "band_key"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over distinct whitespace tokens, as a 64-char
+    bitstring (MSB-first over md5 hex nibbles)."""
+    toks = (
+        df.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))).alias("tok"),
+        )
+        .withColumn("h", F.substring(F.md5("tok"), 1, 16))
+    )
+    bits = toks.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
+        F.col("h"),
+    )
+    # nibble value of hex char at position b//4; bit = (v // 2^(3-b%4)) % 2
+    bits = bits.withColumn(
+        "hex_char", F.substring(F.col("h"), (F.col("b") / 4).cast("int") + 1, 1)
+    )
+    v = F.expr("instr('0123456789abcdef', hex_char) - 1")
+    divisor = (
+        F.when(F.col("b") % 4 == 0, 8)
+        .when(F.col("b") % 4 == 1, 4)
+        .when(F.col("b") % 4 == 2, 2)
+        .otherwise(1)
+    )
+    bit = F.floor(v / divisor).cast("int") % 2
+    sums = bits.withColumn("w", bit * 2 - 1).groupBy(id_col, "b").agg(F.sum("w").alias("s"))
+    return (
+        sums.withColumn("bitchar", F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0")))
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("b", "bitchar"))),
+                    lambda s: s["bitchar"],
+                ),
+            ).alias("simhash")
+        )
+    )

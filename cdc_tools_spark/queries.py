@@ -64,7 +64,8 @@ def q_cdc_lsn_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     inequality ``(lsn > lo) OR (lsn = lo AND seqval >= sv)`` plus upper
     bound (CdcRepository.cs:60-138)."""
     log = changelog_from_events(spark, sf_dir)
-    lo, sv, hi = 500, 2, 1500
+    max_lsn = log.agg(F.max("lsn")).collect()[0][0]
+    lo, sv, hi = max_lsn // 5, 2, (max_lsn * 3) // 5  # scale-relative bounds
     return log.where(
         ((F.col("lsn") > lo) | ((F.col("lsn") == lo) & (F.col("seqval") >= sv)))
         & (F.col("lsn") <= hi)
@@ -164,9 +165,13 @@ def q_cdc_sha256_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CDC_ORACLES: dict[str, str] = {
     "cdc_changelog": changelog_sql("duckdb"),
     "cdc_lsn_range_scan": _LOG_CTE
-    + """
-SELECT * FROM log
-WHERE ((lsn > 500) OR (lsn = 500 AND seqval >= 2)) AND lsn <= 1500
+    + """,
+bounds AS (
+  SELECT CAST(floor(max(lsn) / 5.0) AS BIGINT) AS lo,
+         CAST(floor(max(lsn) * 3 / 5.0) AS BIGINT) AS hi
+  FROM log)
+SELECT log.* FROM log, bounds
+WHERE ((lsn > lo) OR (lsn = lo AND seqval >= 2)) AND lsn <= hi
 """,
     "cdc_compaction": _COMPACTED_CTE
     + """
@@ -339,7 +344,10 @@ FROM events GROUP BY 1, 2
 
 
 def queries() -> dict[str, QueryFn]:
+    from cdc_tools_spark import queries_ops
+
     return {
+        **queries_ops.queries(),
         "cdc_changelog": q_cdc_changelog,
         "cdc_lsn_range_scan": q_cdc_lsn_range_scan,
         "cdc_compaction": q_cdc_compaction,
@@ -358,4 +366,6 @@ def queries() -> dict[str, QueryFn]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**_CDC_ORACLES, **_RELATIONAL_ORACLES}
+    from cdc_tools_spark import queries_ops
+
+    return {**_CDC_ORACLES, **_RELATIONAL_ORACLES, **queries_ops.oracle_sql()}

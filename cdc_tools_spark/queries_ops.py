@@ -1,0 +1,291 @@
+"""Training-data pipeline queries (documents/embeddings tables) with DuckDB
+oracle twins. Canonical operator definitions live in
+:mod:`cdc_tools_spark.ops`; every oracle reproduces the same definition in
+SQL (md5/sha256-based hashing keeps them bit-comparable)."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from cdc_tools_spark.ops import dedup as D
+from cdc_tools_spark.ops import similarity as S
+from cdc_tools_spark.ops import text as X
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in X.STOPWORDS) + "]"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# -- text analysis ----------------------------------------------------------
+
+
+def q_text_quality(spark, sf_dir):
+    return X.quality_features(_docs(spark, sf_dir))
+
+
+def q_text_lang_id(spark, sf_dir):
+    return X.language_id(_docs(spark, sf_dir))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return X.fingerprint(_docs(spark, sf_dir))
+
+
+# -- dedup ------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_dedup_groups(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return D.minhash_lsh_candidates(_docs(spark, sf_dir), num_hashes=32, rows_per_band=4)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return D.simhash(_docs(spark, sf_dir))
+
+
+# -- similarity -------------------------------------------------------------
+
+
+def q_embed_neardup_cosine(spark, sf_dir):
+    # 0.35 sits at the ~99.9th percentile of this corpus's pairwise cosines
+    # (max 0.51): a non-vacuous near-dup set of a few hundred pairs.
+    return S.cosine_pairs(_emb(spark, sf_dir), threshold=0.35)
+
+
+def q_ann_topk_cosine(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return S.topk_cosine(emb, k=5, queries=emb.where(F.col("vec_id") < 25))
+
+
+def q_embed_lsh_buckets(spark, sf_dir):
+    out = S.lsh_buckets(_emb(spark, sf_dir), num_planes=8, dim=64)
+    return out.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
+def q_ann_topk_lsh(spark, sf_dir):
+    """Rows-only check (approximate op; recall measured in tests)."""
+    return S.topk_cosine_lsh(_emb(spark, sf_dir), k=5, num_planes=8, dim=64)
+
+
+# -- oracle SQL -------------------------------------------------------------
+
+_TOKS_CTE = r"""
+WITH toks_arr AS (
+  SELECT doc_id, text, trim(text) AS tt,
+    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\s+') END AS toks
+  FROM documents)
+"""
+
+_SHINGLE_CTE = r"""
+WITH tok_pos AS (
+  SELECT doc_id,
+    unnest(string_split_regex(trim(text), '\s+')) AS tok,
+    generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+  FROM documents WHERE len(trim(text)) > 0),
+grams AS (
+  SELECT doc_id,
+    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+  FROM tok_pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+sh AS (SELECT DISTINCT doc_id, shingle FROM grams WHERE shingle IS NOT NULL)
+"""
+
+_FLAT_CTE = """
+WITH flat AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings),
+norms AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM flat GROUP BY vec_id)
+"""
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = "[" + ", ".join(f"'{w}'" for w in X.LANG_MARKERS[lang]) + "]"
+    return (
+        f"CAST(len(list_filter(toks, x -> list_contains({markers}, x))) AS BIGINT)"
+    )
+
+
+_LANG_SQL = (
+    _TOKS_CTE
+    + ", scored AS (SELECT doc_id, "
+    + ", ".join(f"{_lang_score_sql(lang)} AS score_{lang}" for lang in X.LANG_ORDER)
+    + " FROM toks_arr)\nSELECT doc_id, "
+    + ", ".join(f"score_{lang}" for lang in X.LANG_ORDER)
+    + ", CASE WHEN greatest("
+    + ", ".join(f"score_{lang}" for lang in X.LANG_ORDER)
+    + ") = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN score_{lang} = greatest("
+        + ", ".join(f"score_{k}" for k in X.LANG_ORDER)
+        + f") THEN '{lang}'"
+        for lang in X.LANG_ORDER
+    )
+    + " END AS lang_pred FROM scored"
+)
+
+ORACLES: dict[str, str | None] = {
+    "text_quality": _TOKS_CTE
+    + rf"""
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+    AS n_bpe_tokens,
+  round(CASE WHEN len(toks) > 0
+    THEN CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE) / len(toks)
+    ELSE 0 END, 6) AS stopword_ratio,
+  round(CASE WHEN len(toks) > 0
+    THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0 END, 6) AS unique_ratio,
+  round(CASE WHEN len(toks) > 0
+    THEN CAST(length(regexp_replace(tt, '\s+', '', 'g')) AS DOUBLE) / len(toks)
+    ELSE 0 END, 6) AS avg_token_len
+FROM toks_arr
+""",
+    "text_lang_id": _LANG_SQL,
+    "text_fingerprint": _TOKS_CTE
+    + """
+SELECT doc_id,
+  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint,
+  CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens
+FROM toks_arr
+""",
+    "dedup_exact": """
+SELECT sha256(text) AS text_sha256, min(doc_id) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS group_size
+FROM documents GROUP BY 1
+""",
+    "dedup_ngram_jaccard": _SHINGLE_CTE
+    + """,
+counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+  round(CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common), 6) AS jaccard
+FROM inter
+JOIN counts ca ON ca.doc_id = doc_a
+JOIN counts cb ON cb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= 0.5
+""",
+    "dedup_minhash_lsh": _SHINGLE_CTE
+    + """,
+sigs AS (
+  SELECT doc_id, seed, min(md5(CAST(seed AS STRING) || ':' || shingle)) AS minhash
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS seed) s
+  GROUP BY doc_id, seed),
+bands AS (
+  SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
+         md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+  FROM sigs GROUP BY doc_id, CAST(floor(seed / 4) AS INT))
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+""",
+    "dedup_simhash": r"""
+WITH tok_d AS (
+  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents WHERE len(trim(text)) > 0),
+h AS (SELECT doc_id, substr(md5(tok), 1, 16) AS h FROM tok_d),
+bits AS (
+  SELECT doc_id, b,
+    strpos('0123456789abcdef', substr(h, CAST(floor(b / 4) AS INT) + 1, 1)) - 1 AS v,
+    CASE CAST(b % 4 AS INT) WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END AS d
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bb),
+sums AS (
+  SELECT doc_id, b, sum((CAST(floor(v / d) AS INT) % 2) * 2 - 1) AS s
+  FROM bits GROUP BY doc_id, b)
+SELECT doc_id,
+  string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+FROM sums GROUP BY doc_id
+""",
+    "embed_neardup_cosine": _FLAT_CTE
+    + """,
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.val * b.val) AS dp
+  FROM flat a JOIN flat b ON a.pos = b.pos AND a.vec_id < b.vec_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, round(dp / (na.nrm * nb.nrm), 6) AS cos
+FROM dots
+JOIN norms na ON na.vec_id = id_a
+JOIN norms nb ON nb.vec_id = id_b
+WHERE round(dp / (na.nrm * nb.nrm), 6) >= 0.35
+""",
+    "ann_topk_cosine": _FLAT_CTE
+    + """,
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.val * b.val) AS dp
+  FROM flat a JOIN flat b ON a.pos = b.pos AND a.vec_id != b.vec_id
+  WHERE a.vec_id < 25
+  GROUP BY 1, 2),
+scored AS (
+  SELECT id_a, id_b, round(dp / (na.nrm * nb.nrm), 6) AS cos
+  FROM dots
+  JOIN norms na ON na.vec_id = id_a
+  JOIN norms nb ON nb.vec_id = id_b),
+ranked AS (
+  SELECT id_a, id_b, cos,
+    CAST(row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS BIGINT) AS rank
+  FROM scored)
+SELECT id_a, id_b, cos, rank FROM ranked WHERE rank <= 5
+""",
+    "embed_lsh_buckets": _FLAT_CTE
+    + """,
+planes AS (
+  SELECT p, d,
+    CASE WHEN (strpos('0123456789abcdef',
+      substr(md5(CAST(p AS STRING) || ':' || CAST(d AS STRING)), 1, 1)) - 1) % 2 = 1
+    THEN 1.0 ELSE -1.0 END AS w
+  FROM (SELECT unnest(generate_series(0, 7)) AS p) pp,
+       (SELECT unnest(generate_series(0, 63)) AS d) dd),
+proj AS (
+  SELECT f.vec_id, pl.p, sum(f.val * pl.w) AS pr
+  FROM flat f JOIN planes pl ON pl.d = f.pos - 1
+  GROUP BY 1, 2),
+buckets AS (
+  SELECT vec_id, string_agg(CASE WHEN pr > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+  FROM proj GROUP BY vec_id)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_vectors, min(vec_id) AS min_vec_id
+FROM buckets GROUP BY bucket
+""",
+    "ann_topk_lsh": None,  # approximate op: rows-only driver check
+}
+
+
+def queries():
+    return {
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "embed_neardup_cosine": q_embed_neardup_cosine,
+        "ann_topk_cosine": q_ann_topk_cosine,
+        "embed_lsh_buckets": q_embed_lsh_buckets,
+        "ann_topk_lsh": q_ann_topk_lsh,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: v for k, v in ORACLES.items() if v is not None}

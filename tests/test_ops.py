@@ -1,0 +1,104 @@
+import pyspark.sql.functions as F
+import pytest
+
+from cdc_tools_spark.ops.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+    word_shingles,
+)
+from cdc_tools_spark.ops.similarity import cosine_pairs, lsh_buckets, topk_cosine
+from cdc_tools_spark.ops.text import fingerprint, language_id, quality_features
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat and the dog is here to see the show"),
+        (1, "the cat and the dog is here to see the show"),  # exact dup of 0
+        (2, "the cat and the dog is here to see a show"),  # near dup of 0
+        (3, "der hund und die katze ist das haus und der baum"),
+        (4, "completely different words entirely unrelated tokens"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, schema="doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    groups = {r["keep_doc_id"]: r["group_size"] for r in exact_dedup_groups(docs).collect()}
+    assert groups[0] == 2  # docs 0 and 1 collapse; representative is min id
+    assert groups[2] == 1 and groups[3] == 1
+
+
+def test_word_shingles_and_jaccard(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b c d f"), (2, "x y z w v")],
+        schema="doc_id long, text string",
+    )
+    sh = word_shingles(df, n=3).collect()
+    assert {r["shingle"] for r in sh if r["doc_id"] == 0} == {"a b c", "b c d", "c d e"}
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(df, n=3, threshold=0.0).collect()}
+    assert pairs[(0, 1)] == 0.5  # 2 common / 4 union
+    assert (0, 2) not in pairs  # no shared shingle -> never a candidate
+
+
+def test_minhash_lsh_finds_duplicates(spark, docs):
+    cands = {(r["doc_a"], r["doc_b"]) for r in
+             minhash_lsh_candidates(docs, num_hashes=32, rows_per_band=4).collect()}
+    assert (0, 1) in cands  # exact dups always collide in every band
+    assert (0, 4) not in cands and (3, 4) not in cands
+
+
+def test_simhash_properties(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sh[0] == sh[1] and len(sh[0]) == 64 and set(sh[0]) <= {"0", "1"}
+    ham_near = sum(a != b for a, b in zip(sh[0], sh[2]))
+    ham_far = sum(a != b for a, b in zip(sh[0], sh[4]))
+    assert ham_near < ham_far  # near-dup closer in hamming space
+
+
+def test_language_id(spark, docs):
+    out = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+    assert out[0] == "en" and out[3] == "de"
+    assert out[4] == "und" and out[5] == "und"
+
+
+def test_quality_and_fingerprint(spark, docs):
+    q = {r["doc_id"]: r for r in quality_features(docs).collect()}
+    assert q[0]["n_tokens"] == 11 and q[5]["n_tokens"] == 0
+    assert q[0]["stopword_ratio"] > q[4]["stopword_ratio"] == 0.0
+    assert 0 < q[0]["unique_ratio"] < 1.0
+    fp = {r["doc_id"]: r["fingerprint"] for r in fingerprint(docs).collect()}
+    assert fp[0] == fp[1] != fp[4]
+    # fingerprint is word-order-insensitive
+    df2 = spark.createDataFrame([(0, "b a"), (1, "a b b")], "doc_id long, text string")
+    fps = [r["fingerprint"] for r in fingerprint(df2).collect()]
+    assert fps[0] == fps[1]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.01, 0.0, 0.0]),  # near-identical to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),  # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    return spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+
+
+def test_cosine_pairs_and_topk(spark, vecs):
+    pairs = {(r["id_a"], r["id_b"]): r["cos"] for r in cosine_pairs(vecs, 0.99).collect()}
+    assert set(pairs) == {(0, 1)} and pairs[(0, 1)] > 0.999
+    top = {(r["id_a"], r["rank"]): r["id_b"] for r in topk_cosine(vecs, k=3).collect()}
+    assert top[(0, 1)] == 1  # nearest neighbor of 0 is 1
+    assert top[(0, 3)] == 3  # opposite vector ranks last
+
+
+def test_lsh_buckets_group_similar(spark, vecs):
+    b = {r["vec_id"]: r["bucket"] for r in lsh_buckets(vecs, num_planes=8, dim=4).collect()}
+    assert b[0] == b[1]  # near-identical vectors share every hyperplane side
+    assert b[0] != b[3]  # opposite vector flips every plane
+    assert len(b[0]) == 8
