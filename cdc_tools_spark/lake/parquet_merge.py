@@ -147,7 +147,25 @@ class ParquetMergeTable(LakeTable):
         schema: T.StructType,
         key_cols: Sequence[str] = ("repo", "path"),
         num_buckets: int = 64,
+        order_cols: Sequence[str] | None = None,
     ) -> "ParquetMergeTable":
+        """``order_cols`` (e.g. ``("lsn", "seqval")``) switches the table to
+        **newer-wins merges**: those columns are stored per row and a merge
+        keeps whichever of {current row, update} has the higher order tuple.
+        Required when batches may arrive out of LSN order (streaming tail);
+        the plain mode assumes the driver replays epochs in order."""
+        if order_cols:
+            have = {f.name for f in schema.fields}
+            fields = list(schema.fields) + [
+                T.StructField(c, T.LongType(), True) for c in order_cols if c not in have
+            ]
+            # Tombstones: a DELETE is stored as a row with _tombstone=true so
+            # a later-arriving *older* event for the key still loses the
+            # order comparison (without it, a late INSERT would resurrect a
+            # deleted key). read() filters them; vacuum can GC below a
+            # replay watermark.
+            fields.append(T.StructField("_tombstone", T.BooleanType(), False))
+            schema = T.StructType(fields)
         t = cls(spark, root, key_cols)
         t._store(
             {
@@ -155,6 +173,7 @@ class ParquetMergeTable(LakeTable):
                 "version": 0,
                 "num_buckets": num_buckets,
                 "key_cols": list(key_cols),
+                "order_cols": list(order_cols) if order_cols else None,
                 "schema": schema.json(),
                 "versions": {},
                 "buckets": {},
@@ -191,7 +210,12 @@ class ParquetMergeTable(LakeTable):
 
     def read(self) -> DataFrame:
         m = self._load()
-        return self._read_dirs(self._leaf_dirs(m), T.StructType.fromJson(json.loads(m["schema"])))
+        df = self._read_dirs(
+            self._leaf_dirs(m), T.StructType.fromJson(json.loads(m["schema"]))
+        )
+        if m.get("order_cols"):
+            df = df.where(~F.col("_tombstone")).drop("_tombstone")
+        return df
 
     def read_version(self, version: int) -> DataFrame:
         """Time travel: snapshot as of ``version`` (buckets whose assigned
@@ -210,9 +234,13 @@ class ParquetMergeTable(LakeTable):
         """Apply one compacted batch (≤1 row/key, carries ``change_type``)."""
         m = self._load()
         num_buckets = m["num_buckets"]
+        order_cols = m.get("order_cols") or None
         current_schema = T.StructType.fromJson(json.loads(m["schema"]))
 
-        payload_fields = [f for f in batch.schema.fields if f.name not in META_COLS]
+        keep_meta = set(order_cols or ())
+        payload_fields = [
+            f for f in batch.schema.fields if f.name not in META_COLS or f.name in keep_meta
+        ]
         incoming = T.StructType(payload_fields)
         new_schema, _ = evolve_schema(current_schema, incoming)
 
@@ -233,10 +261,42 @@ class ParquetMergeTable(LakeTable):
             current = self._read_dirs(self._leaf_dirs(m, touched), current_schema)
             current = _align(current, new_schema)
 
-            batch_keys = batch.select(*self.key_cols)
-            survivors = current.join(batch_keys, on=list(self.key_cols), how="left_anti")
-            upserts = _align(batch.where(F.col("change_type") != DELETE), new_schema)
-            merged = survivors.unionByName(upserts)
+            if order_cols:
+                # Newer-wins merge: last-write-wins compaction over
+                # (current ∪ updates) on the stored order tuple — one hash
+                # aggregation, no join. Deletes persist as tombstones so a
+                # late batch can neither clobber a newer row nor resurrect a
+                # deleted key.
+                from cdc_tools_spark.operators.compaction import compact_last_write_wins
+
+                cur_t = current.withColumn(
+                    "change_type",
+                    F.when(F.col("_tombstone"), F.lit(DELETE)).otherwise(F.lit(2)),
+                )
+                have = set(batch.columns)
+                upd_t = batch.select(
+                    *[
+                        F.col(f.name).cast(f.dataType).alias(f.name)
+                        if f.name in have
+                        else (
+                            (F.col("change_type") == DELETE).alias(f.name)
+                            if f.name == "_tombstone"
+                            else F.lit(None).cast(f.dataType).alias(f.name)
+                        )
+                        for f in new_schema.fields
+                    ],
+                    F.col("change_type").cast("int").alias("change_type"),
+                )
+                combined = cur_t.unionByName(upd_t)
+                winners = compact_last_write_wins(
+                    combined, self.key_cols, order_cols, strategy="max_by"
+                )
+                merged = winners.drop("change_type")
+            else:
+                batch_keys = batch.select(*self.key_cols)
+                survivors = current.join(batch_keys, on=list(self.key_cols), how="left_anti")
+                upserts = _align(batch.where(F.col("change_type") != DELETE), new_schema)
+                merged = survivors.unionByName(upserts)
 
             version = m["version"] + 1
             vdir = os.path.join(self.root, f"v{version}")

@@ -1,0 +1,107 @@
+"""Structured Streaming tail: continuous binlog → lake merge.
+
+The Spark-native form of the reference's consumer/writer thread pair
+(KeyedJsonConsumer.cs:88-144 + RedshiftWriter.cs:28-63): ``readStream`` over
+the append-only binlog directory (the sandbox stand-in for the Kafka source
+S9 — swap for ``format("kafka")`` + ``from_json``/``from_avro`` on a real
+bus), then ``foreachBatch``: compact → newer-wins MERGE → commit marker.
+
+The hand-rolled windowing (WindowMs OR WindowItems, RedshiftWriter.cs:52-61)
+becomes the trigger + ``maxFilesPerTrigger``; the bounded-buffer backpressure
+becomes the trigger's batch sizing; per-key apply order is guaranteed not by
+partition ordering but by the **ordered merge** (the lake table stores
+``(lsn, seqval)`` per row and keeps the newer tuple), so late or reordered
+micro-batches converge to the same final state as an in-order replay.
+
+Exactly-once: Spark's streaming checkpoint gives each source file to exactly
+one micro-batch; our merge is idempotent per batch and the commit log keyed
+by ``batch_id`` records metrics — a replayed ``foreachBatch`` (after driver
+crash) re-merges harmlessly, same argument as the batch pipeline.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from cdc_tools_spark.lake.parquet_merge import META_COLS, ParquetMergeTable
+from cdc_tools_spark.operators.compaction import compact_last_write_wins
+from cdc_tools_spark.sources.binlog import BINLOG_SCHEMA
+from cdc_tools_spark.state.commit_log import CommitLog, EpochCommit
+
+
+@dataclass
+class StreamConfig:
+    key_cols: tuple[str, ...] = ("repo", "path")
+    num_buckets: int = 64
+    max_files_per_trigger: int = 8
+    processing_time: str = "0 seconds"  # as-fast-as-possible micro-batches
+
+
+def stream_tail(
+    spark: SparkSession,
+    log_dir: str,
+    table_root: str,
+    state_root: str,
+    checkpoint_dir: str,
+    execution_id: str = "stream-0",
+    config: StreamConfig | None = None,
+) -> StreamingQuery:
+    """Start the continuous tail; returns the StreamingQuery handle."""
+    config = config or StreamConfig()
+    commit_log = CommitLog(state_root, execution_id)
+
+    table = ParquetMergeTable(spark, table_root, config.key_cols)
+    if not table.exists():
+        import pyspark.sql.types as T
+
+        payload = T.StructType(
+            [f for f in BINLOG_SCHEMA.fields if f.name not in META_COLS]
+        )
+        ParquetMergeTable.create(
+            spark,
+            table_root,
+            payload,
+            config.key_cols,
+            config.num_buckets,
+            order_cols=("lsn", "seqval"),
+        )
+
+    stream = (
+        spark.readStream.schema(BINLOG_SCHEMA)
+        .option("maxFilesPerTrigger", config.max_files_per_trigger)
+        .parquet(log_dir)
+    )
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        compacted = compact_last_write_wins(batch, config.key_cols)
+        result = table.merge(compacted, epoch_id=batch_id, collect_metrics=True)
+        bounds = batch.agg(
+            F.coalesce(F.min("lsn"), F.lit(-1)).alias("lo"),
+            F.coalesce(F.max("lsn"), F.lit(-1)).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        commit_log.commit(
+            EpochCommit(
+                execution_id=execution_id,
+                table_name=commit_log.table_name,
+                epoch=batch_id,
+                from_lsn=int(bounds["lo"]),
+                to_lsn=int(bounds["hi"]),
+                applied_upserts=result.upserts,
+                applied_deletes=result.deletes,
+                skipped_events=max(0, int(bounds["n"]) - result.upserts - result.deletes),
+                table_version=result.version,
+                partition_lineage={str(k): v for k, v in result.partition_lineage.items()},
+            )
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=config.processing_time)
+        .start()
+    )

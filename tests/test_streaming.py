@@ -1,0 +1,116 @@
+import time
+
+import pyspark.sql.functions as F
+
+from cdc_tools_spark.lake.parquet_merge import ParquetMergeTable
+from cdc_tools_spark.state.commit_log import CommitLog
+from cdc_tools_spark.streaming.tail import StreamConfig, stream_tail
+from tests.conftest import EVENT_SCHEMA, pandas_replay, person_scenario
+
+
+def _write_segment(spark, events, path):
+    spark.createDataFrame(events, schema=EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _wait_done(query, expected_rows, table, timeout=60):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        query.processAllAvailable()
+        if table.exists() and table.read().count() == expected_rows:
+            return
+        time.sleep(0.5)
+
+
+def test_stream_tail_converges_to_oracle(spark, tmp_path):
+    events, oracle = person_scenario()
+    log_dir = str(tmp_path / "log")
+    # split the log into three files arriving over time (3 micro-batches max)
+    thirds = [events[i::3] for i in range(3)]
+    _write_segment(spark, thirds[0], log_dir)
+
+    query = stream_tail(
+        spark,
+        log_dir,
+        str(tmp_path / "table"),
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+        config=StreamConfig(num_buckets=8, max_files_per_trigger=1),
+    )
+    try:
+        query.processAllAvailable()
+        _write_segment(spark, thirds[1], log_dir)
+        query.processAllAvailable()
+        _write_segment(spark, thirds[2], log_dir)
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+    table = ParquetMergeTable(spark, str(tmp_path / "table"))
+    got = {
+        (r["repo"], r["path"]): r["content"]
+        for r in table.read().collect()
+    }
+    want = {k: v["content"] for k, v in oracle.items()}
+    assert got == want
+
+    # commit log has one marker per micro-batch with metrics
+    recs = CommitLog(str(tmp_path / "state"), "stream-0").records()
+    assert recs and all(r.applied_upserts + r.applied_deletes >= 0 for r in recs)
+
+
+def test_ordered_merge_ignores_late_batches(spark, tmp_path):
+    """The newer-wins table: an out-of-order (late) batch must not clobber a
+    newer applied row — interleaved event splits converge to the oracle."""
+    events, oracle = person_scenario()
+    log_dir = str(tmp_path / "log")
+    # round-robin split => each file mixes early and late LSNs; file order
+    # does NOT match LSN order
+    _write_segment(spark, events[1::2], log_dir)  # odd half first (has later lsns)
+
+    query = stream_tail(
+        spark,
+        log_dir,
+        str(tmp_path / "table"),
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+        config=StreamConfig(num_buckets=8, max_files_per_trigger=1),
+    )
+    try:
+        query.processAllAvailable()
+        _write_segment(spark, events[0::2], log_dir)  # "late" even half
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+    table = ParquetMergeTable(spark, str(tmp_path / "table"))
+    got = {(r["repo"], r["path"]): r["content"] for r in table.read().collect()}
+    want = {k: v["content"] for k, v in oracle.items()}
+    assert got == want
+    # stored order columns exist for newer-wins semantics
+    assert {"lsn", "seqval"} <= set(table.read().columns)
+
+
+def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    events, oracle = person_scenario()
+    log_dir = str(tmp_path / "log")
+    _write_segment(spark, events[: len(events) // 2], log_dir)
+
+    cfg = StreamConfig(num_buckets=8)
+    args = (
+        spark, log_dir, str(tmp_path / "table"), str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+    )
+    q1 = stream_tail(*args, config=cfg)
+    q1.processAllAvailable()
+    q1.stop()  # simulated driver crash/stop
+
+    _write_segment(spark, events[len(events) // 2 :], log_dir)
+    q2 = stream_tail(*args, config=cfg)
+    q2.processAllAvailable()
+    q2.stop()
+
+    table = ParquetMergeTable(spark, str(tmp_path / "table"))
+    got = {(r["repo"], r["path"]): r["content"] for r in table.read().collect()}
+    assert got == {k: v["content"] for k, v in oracle.items()}
