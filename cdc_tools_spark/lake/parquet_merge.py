@@ -229,120 +229,237 @@ class ParquetMergeTable(LakeTable):
         ]
         return self._read_dirs(dirs, schema)
 
+    # -- maintenance ---------------------------------------------------------
+    def vacuum(self, keep_versions: int = 1) -> list[int]:
+        """Delete version directories no bucket points to anymore, keeping
+        the ``keep_versions`` most recent snapshots for time travel.
+        Returns the removed version numbers. (The Iceberg analog:
+        ``expire_snapshots``.)"""
+        import shutil
+
+        m = self._load()
+        live = {v for v in m["buckets"].values() if v >= 0}
+        recent = set(
+            sorted((int(v) for v in m["versions"]), reverse=True)[:keep_versions]
+        )
+        removed = []
+        for name in os.listdir(self.root):
+            if not name.startswith("v"):
+                continue
+            try:
+                v = int(name[1:])
+            except ValueError:
+                continue
+            if v not in live and v not in recent:
+                shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+                m["versions"].pop(str(v), None)
+                removed.append(v)
+        if removed:
+            self._store(m)
+        return sorted(removed)
+
+    def expire_tombstones(self, below_lsn: int, epoch_id: int) -> int:
+        """GC delete tombstones older than a replay watermark (ordered
+        tables only): once no batch below ``below_lsn`` can ever arrive
+        again, tombstones under it are dead weight. Rewrites all buckets;
+        returns the new version."""
+        m = self._load()
+        if not m.get("order_cols"):
+            return m["version"]
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        df = self._read_dirs(self._leaf_dirs(m), schema)
+        keep = df.where(~F.col("_tombstone") | (F.col("lsn") >= below_lsn))
+        version = m["version"] + 1
+        vdir = os.path.join(self.root, f"v{version}")
+        (
+            keep.withColumn("bucket", self._bucket_expr(m["num_buckets"]))
+            .repartition(F.col("bucket"))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(vdir)
+        )
+        written = {
+            int(d.split("=", 1)[1])
+            for d in (os.listdir(vdir) if os.path.isdir(vdir) else [])
+            if d.startswith("bucket=")
+        }
+        m["buckets"] = {
+            str(b): (version if b in written else -1) for b in range(m["num_buckets"])
+        }
+        m["version"] = version
+        m["versions"][str(version)] = {
+            "schema": m["schema"],
+            "buckets": dict(m["buckets"]),
+            "epoch_id": epoch_id,
+        }
+        self._store(m)
+        return version
+
     # -- merge -------------------------------------------------------------
-    def merge(self, batch: DataFrame, epoch_id: int, collect_metrics: bool = True) -> MergeResult:
-        """Apply one compacted batch (≤1 row/key, carries ``change_type``)."""
+    def merge(
+        self,
+        batch: DataFrame,
+        epoch_id: int,
+        collect_metrics: bool = True,
+        prune_buckets: bool = True,
+    ) -> MergeResult:
+        """Apply one change batch — raw or pre-compacted; carries
+        ``(lsn, seqval, change_type)``.
+
+        Single-aggregation MERGE: per-key last-write-wins over
+        ``current_rows ∪ batch_events``, where current rows carry their
+        stored order tuple (ordered tables) or ``(-1, -1)`` (plain tables,
+        "before everything in this epoch"). One shuffle, no join, no
+        caching; batch compaction and merge dedup happen in the same hash
+        aggregation (map-side partial agg bounds hot-key shuffle volume).
+        Upsert/delete counts ride along via ``Observation`` on the write job.
+        """
+        from pyspark.sql import Observation
+
+        from cdc_tools_spark.operators.compaction import compact_last_write_wins
+
         m = self._load()
         num_buckets = m["num_buckets"]
-        order_cols = m.get("order_cols") or None
+        order_cols = tuple(m.get("order_cols") or ("lsn", "seqval"))
+        persist_order = bool(m.get("order_cols"))
         current_schema = T.StructType.fromJson(json.loads(m["schema"]))
 
-        keep_meta = set(order_cols or ())
+        keep_meta = set(order_cols) if persist_order else set()
         payload_fields = [
             f for f in batch.schema.fields if f.name not in META_COLS or f.name in keep_meta
         ]
         incoming = T.StructType(payload_fields)
         new_schema, _ = evolve_schema(current_schema, incoming)
 
-        batch = batch.withColumn("_bucket", self._bucket_expr(num_buckets))
-        batch.persist()
-        try:
-            stats = batch.agg(
-                F.sum(F.when(F.col("change_type") == DELETE, 1).otherwise(0)).alias("dels"),
-                F.count(F.lit(1)).alias("n"),
-                F.collect_set("_bucket").alias("touched"),
-            ).collect()[0]
-            n_deletes = int(stats["dels"] or 0)
-            n_upserts = int(stats["n"]) - n_deletes
-            touched = sorted(stats["touched"])
+        # Touched buckets from a column-pruned pass over just the key
+        # columns (parquet reads only repo/path — no payload I/O). This is
+        # the partition-pruning step: untouched buckets are never read or
+        # rewritten. ``prune_buckets=False`` skips the extra pass — correct
+        # but unpruned — for workloads whose every batch touches ~all
+        # buckets anyway (full-table replays); sparse incremental tails at
+        # 100 TB must keep it on.
+        if prune_buckets:
+            touched = sorted(
+                r["_b"]
+                for r in batch.select(
+                    self._bucket_expr(num_buckets).alias("_b")
+                ).distinct().collect()
+            )
             if not touched:
                 return MergeResult(epoch_id, 0, 0, 0, m["version"])
+        else:
+            touched = list(range(num_buckets))
 
-            current = self._read_dirs(self._leaf_dirs(m, touched), current_schema)
-            current = _align(current, new_schema)
+        current = self._read_dirs(self._leaf_dirs(m, touched), current_schema)
+        current = _align(current, new_schema)
 
-            if order_cols:
-                # Newer-wins merge: last-write-wins compaction over
-                # (current ∪ updates) on the stored order tuple — one hash
-                # aggregation, no join. Deletes persist as tombstones so a
-                # late batch can neither clobber a newer row nor resurrect a
-                # deleted key.
-                from cdc_tools_spark.operators.compaction import compact_last_write_wins
-
-                cur_t = current.withColumn(
-                    "change_type",
-                    F.when(F.col("_tombstone"), F.lit(DELETE)).otherwise(F.lit(2)),
+        work_cols = [c for c in ("lsn", "seqval") if c not in new_schema.fieldNames()]
+        if persist_order:
+            cur_t = current.select(
+                "*",
+                F.when(F.col("_tombstone"), F.lit(DELETE)).otherwise(F.lit(2)).alias(
+                    "change_type"
+                ),
+                F.lit(0).alias("_src"),
+            )
+        else:
+            # Current rows sort below every event of the batch: any event
+            # for the key wins; absent events, the current row survives.
+            cur_t = current.select(
+                "*",
+                F.lit(-1).cast("long").alias("lsn"),
+                F.lit(-1).cast("long").alias("seqval"),
+                F.lit(2).alias("change_type"),
+                F.lit(0).alias("_src"),
+            )
+        have = set(batch.columns)
+        upd_t = batch.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in have
+                else (
+                    (F.col("change_type") == DELETE).alias(f.name)
+                    if f.name == "_tombstone"
+                    else F.lit(None).cast(f.dataType).alias(f.name)
                 )
-                have = set(batch.columns)
-                upd_t = batch.select(
-                    *[
-                        F.col(f.name).cast(f.dataType).alias(f.name)
-                        if f.name in have
-                        else (
-                            (F.col("change_type") == DELETE).alias(f.name)
-                            if f.name == "_tombstone"
-                            else F.lit(None).cast(f.dataType).alias(f.name)
-                        )
-                        for f in new_schema.fields
-                    ],
-                    F.col("change_type").cast("int").alias("change_type"),
-                )
-                combined = cur_t.unionByName(upd_t)
-                winners = compact_last_write_wins(
-                    combined, self.key_cols, order_cols, strategy="max_by"
-                )
-                merged = winners.drop("change_type")
-            else:
-                batch_keys = batch.select(*self.key_cols)
-                survivors = current.join(batch_keys, on=list(self.key_cols), how="left_anti")
-                upserts = _align(batch.where(F.col("change_type") != DELETE), new_schema)
-                merged = survivors.unionByName(upserts)
+                for f in new_schema.fields
+            ],
+            *[F.col(c).cast("long").alias(c) for c in work_cols],
+            F.col("change_type").cast("int").alias("change_type"),
+            F.lit(1).alias("_src"),
+        )
+        combined = cur_t.unionByName(upd_t)
+        # _src breaks (lsn, seqval) ties toward the batch (identical payload
+        # on idempotent replays — determinism, not semantics) and tags the
+        # applied-event metrics.
+        winners = compact_last_write_wins(
+            combined, self.key_cols, (*order_cols, "_src"), strategy="max_by"
+        )
 
-            version = m["version"] + 1
-            vdir = os.path.join(self.root, f"v{version}")
-            out = merged.withColumn("bucket", self._bucket_expr(num_buckets))
-            # Route each bucket's rows into its own directory; the shuffle on
-            # bucket is also the write-parallelism knob (AQE coalesces).
-            (
-                out.repartition(F.col("bucket"))
-                .write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(vdir)
+        obs = Observation(f"merge-{epoch_id}-{m['version']}")
+        winners = winners.observe(
+            obs,
+            F.sum(
+                F.when((F.col("change_type") == DELETE) & (F.col("_src") == 1), 1).otherwise(0)
+            ).alias("dels"),
+            F.sum(F.col("_src")).alias("from_batch"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        if persist_order:
+            merged = winners.drop("change_type", "_src")  # tombstones persist
+        else:
+            merged = winners.where(F.col("change_type") != DELETE).drop(
+                "change_type", "_src", *work_cols
             )
 
-            lineage: dict[int, int] = {}
-            if collect_metrics and os.path.isdir(vdir):
-                # Read back what was just written (cheap, local to touched
-                # buckets) — per-partition lineage for the metrics table.
-                with_bucket = T.StructType(
-                    list(new_schema.fields) + [T.StructField("bucket", T.IntegerType(), True)]
-                )
-                written = self.spark.read.schema(with_bucket).parquet(vdir)
-                lineage = {
-                    int(r["bucket"]): int(r["cnt"])
-                    for r in written.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
-                }
+        version = m["version"] + 1
+        vdir = os.path.join(self.root, f"v{version}")
+        out = merged.withColumn("bucket", self._bucket_expr(num_buckets))
+        # Route each bucket's rows into its own directory; the shuffle on
+        # bucket is also the write-parallelism knob (AQE coalesces).
+        (
+            out.repartition(F.col("bucket"))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(vdir)
+        )
+        stats = obs.get
+        n_deletes = int(stats["dels"] or 0)
+        # upserts applied = winners that came from this batch and are not
+        # deletes (current rows that survived are not "applied" events)
+        n_upserts = max(0, int(stats["from_batch"] or 0) - n_deletes)
 
-            # A touched bucket with no output rows (everything deleted) has no
-            # files; mark it empty (-1). Local-FS listing here; on a cluster
-            # this would go through the Hadoop FileSystem API.
-            written_buckets = {
-                int(d.split("=", 1)[1])
-                for d in (os.listdir(vdir) if os.path.isdir(vdir) else [])
-                if d.startswith("bucket=")
+        lineage: dict[int, int] = {}
+        if collect_metrics and os.path.isdir(vdir):
+            # Read back what was just written (cheap, local to touched
+            # buckets) — per-partition lineage for the metrics table.
+            with_bucket = T.StructType(
+                list(new_schema.fields) + [T.StructField("bucket", T.IntegerType(), True)]
+            )
+            written = self.spark.read.schema(with_bucket).parquet(vdir)
+            lineage = {
+                int(r["bucket"]): int(r["cnt"])
+                for r in written.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
             }
-            new_buckets = dict(m["buckets"])
-            for b in touched:
-                new_buckets[str(b)] = version if b in written_buckets else -1
-            m["version"] = version
-            m["schema"] = new_schema.json()
-            m["buckets"] = new_buckets
-            m["versions"][str(version)] = {
-                "schema": new_schema.json(),
-                "buckets": dict(new_buckets),
-                "epoch_id": epoch_id,
-            }
-            self._store(m)
-            return MergeResult(epoch_id, n_upserts, n_deletes, len(touched), version, lineage)
-        finally:
-            batch.unpersist()
+
+        # A touched bucket with no output rows (everything deleted) has no
+        # files; mark it empty (-1). Local-FS listing here; on a cluster
+        # this would go through the Hadoop FileSystem API.
+        written_buckets = {
+            int(d.split("=", 1)[1])
+            for d in (os.listdir(vdir) if os.path.isdir(vdir) else [])
+            if d.startswith("bucket=")
+        }
+        new_buckets = dict(m["buckets"])
+        for b in touched:
+            new_buckets[str(b)] = version if b in written_buckets else -1
+        m["version"] = version
+        m["schema"] = new_schema.json()
+        m["buckets"] = new_buckets
+        m["versions"][str(version)] = {
+            "schema": new_schema.json(),
+            "buckets": dict(new_buckets),
+            "epoch_id": epoch_id,
+        }
+        self._store(m)
+        return MergeResult(epoch_id, n_upserts, n_deletes, len(touched), version, lineage)

@@ -69,7 +69,46 @@ def compact_last_write_wins(
             .select(*changes.columns)
         )
 
+    if strategy == "salted_window":
+        return _salted_window(admitted, key_cols, order_cols, changes.columns)
+
     raise ValueError(f"unknown compaction strategy: {strategy!r}")
+
+
+def _salted_window(
+    admitted: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    out_cols: Sequence[str],
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Explicit two-stage salted compaction for pathologically hot keys.
+
+    Stage 1 partitions by ``(key, salt)`` where ``salt = pmod(xxhash64(
+    order_cols), S)`` — a hot key's events spread over S tasks, each keeping
+    its local last change; stage 2 ranks the ≤S survivors per key. Bounds
+    any single task at |key's events| / S while keeping the fully-codegen'd
+    window plan. ``max_by`` achieves the same bound via map-side partial
+    aggregation; this variant exists for workloads where the sort-based
+    window plan wins (low dedup ratios) but a mega-key would overflow one
+    task."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(salt_buckets))
+    w1 = Window.partitionBy(*key_cols, "_salt").orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    stage1 = (
+        admitted.withColumn("_salt", salt)
+        .withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_salt")
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        stage1.withColumn("_rn", F.row_number().over(w2))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .select(*out_cols)
+    )
 
 
 def split_upserts_deletes(

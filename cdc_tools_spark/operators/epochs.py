@@ -46,17 +46,23 @@ def plan_epochs(
     target_events_per_epoch: int,
     strategy: str = "quantile",
     relative_error: float = 0.001,
+    total_events: int | None = None,
 ) -> list[Epoch]:
-    """Slice ``log`` into LSN-contiguous epochs of ~``target`` events."""
+    """Slice ``log`` into LSN-contiguous epochs of ~``target`` events.
+
+    ``total_events`` skips the count pass when the caller already knows the
+    log size (e.g. from source metadata / offsets)."""
     if strategy == "quantile":
-        return _plan_quantile(log, target_events_per_epoch, relative_error)
+        return _plan_quantile(log, target_events_per_epoch, relative_error, total_events)
     if strategy == "exact":
         return _plan_exact(log, target_events_per_epoch)
     raise ValueError(f"unknown epoch strategy: {strategy!r}")
 
 
-def _plan_quantile(log: DataFrame, target: int, rel_err: float) -> list[Epoch]:
-    n = log.count()
+def _plan_quantile(
+    log: DataFrame, target: int, rel_err: float, total_events: int | None = None
+) -> list[Epoch]:
+    n = total_events if total_events is not None else log.count()
     if n == 0:
         return []
     k = max(1, math.ceil(n / target))

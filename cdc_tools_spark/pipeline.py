@@ -33,7 +33,6 @@ from pyspark.sql import types as T
 
 from cdc_tools_spark.lake.base import LakeTable
 from cdc_tools_spark.lake.parquet_merge import META_COLS, ParquetMergeTable
-from cdc_tools_spark.operators.compaction import compact_last_write_wins
 from cdc_tools_spark.operators.epochs import Epoch, plan_epochs
 from cdc_tools_spark.sources.binlog import INSERT
 from cdc_tools_spark.state.commit_log import CommitLog, EpochCommit
@@ -47,6 +46,12 @@ class ReplayConfig:
     compaction_strategy: str = "max_by"
     epoch_strategy: str = "quantile"
     collect_metrics: bool = True
+    total_events: int | None = None  # skip the planner's count pass if known
+    bucket_pruning: bool = True  # disable when every batch touches ~all buckets
+    # Derive and store sha256(content) at ingest — the BASELINE.json per-row
+    # parity invariant becomes a stored column, so final-state verification
+    # is a column compare instead of a recomputation.
+    parity_column: bool = False
 
 
 @dataclass
@@ -101,7 +106,9 @@ def replay(
                 spark, table_root, _payload_schema(log), config.key_cols, config.num_buckets
             )
 
-    epochs = plan_epochs(log, config.epoch_events, config.epoch_strategy)
+    epochs = plan_epochs(
+        log, config.epoch_events, config.epoch_strategy, total_events=config.total_events
+    )
     provider = epoch_provider or (lambda e: log.where(e.predicate()))
 
     summary = ReplaySummary()
@@ -111,11 +118,16 @@ def replay(
         if commit_log.is_committed(epoch.epoch_id):
             summary.epochs_skipped += 1
             continue
+        # merge() compacts internally (batch compaction and merge dedup are
+        # one hash aggregation — see ParquetMergeTable.merge); handing it
+        # the raw epoch slice avoids a second pass over the events.
         batch = provider(epoch)
-        compacted = compact_last_write_wins(
-            batch, config.key_cols, strategy=config.compaction_strategy
+        if config.parity_column and "content" in batch.columns:
+            batch = batch.withColumn("content_sha256", F.sha2("content", 256))
+        result = table.merge(
+            batch, epoch.epoch_id, config.collect_metrics,
+            prune_buckets=config.bucket_pruning,
         )
-        result = table.merge(compacted, epoch.epoch_id, config.collect_metrics)
         raw_count = batch.count() if config.collect_metrics else 0
         rec = EpochCommit(
             execution_id=execution_id,

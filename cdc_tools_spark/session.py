@@ -41,6 +41,13 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_CPUS))
+        # v2 commit: task-side renames (distributed) instead of a serial
+        # driver-side rename pass — matters when a merge writes many bucket
+        # dirs; real clusters use an object-store/Iceberg committer instead.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        # A merge reads O(num_buckets) leaf dirs; list them on the driver
+        # instead of launching a distributed listing job per epoch.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "10000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
     )

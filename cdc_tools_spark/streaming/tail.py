@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from cdc_tools_spark.lake.parquet_merge import META_COLS, ParquetMergeTable
-from cdc_tools_spark.operators.compaction import compact_last_write_wins
+
 from cdc_tools_spark.sources.binlog import BINLOG_SCHEMA
 from cdc_tools_spark.state.commit_log import CommitLog, EpochCommit
 
@@ -77,8 +77,9 @@ def stream_tail(
     )
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        compacted = compact_last_write_wins(batch, config.key_cols)
-        result = table.merge(compacted, epoch_id=batch_id, collect_metrics=True)
+        # merge() compacts internally — one aggregation does micro-batch
+        # compaction and newer-wins dedup together.
+        result = table.merge(batch, epoch_id=batch_id, collect_metrics=True)
         bounds = batch.agg(
             F.coalesce(F.min("lsn"), F.lit(-1)).alias("lo"),
             F.coalesce(F.max("lsn"), F.lit(-1)).alias("hi"),

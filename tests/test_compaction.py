@@ -45,10 +45,11 @@ def test_update_before_never_wins(spark):
     assert len(out) == 1 and out[0]["content"] == "v1"
 
 
-def test_compaction_strategies_agree(spark):
+@pytest.mark.parametrize("other", ["window", "salted_window"])
+def test_compaction_strategies_agree(spark, other):
     log = synthetic_binlog(spark, 5_000, n_keys=300, hot_key_pct=40, seed=7)
     a = compact_last_write_wins(log, strategy="max_by")
-    b = compact_last_write_wins(log, strategy="window")
+    b = compact_last_write_wins(log, strategy=other)
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
