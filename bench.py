@@ -85,6 +85,11 @@ def main() -> None:
     parser.add_argument("--cores", type=int, default=CPUS)
     parser.add_argument("--events", type=int, default=N_EVENTS)
     parser.add_argument("--replay-only", action="store_true")
+    parser.add_argument(
+        "--codec", default="lz4",
+        help="shuffle/parquet compression: lz4 (throughput-optimized) or "
+        "zstd (bandwidth-optimized — trades scalable CPU for shared I/O)",
+    )
     args = parser.parse_args()
 
     from cdc_tools_spark.session import get_spark
@@ -101,6 +106,8 @@ def main() -> None:
         extra_conf={
             "spark.sql.files.maxPartitionBytes": "16m",
             "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
+            "spark.io.compression.codec": args.codec,
+            "spark.sql.parquet.compression.codec": args.codec,
         },
     )
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0

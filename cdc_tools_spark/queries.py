@@ -94,6 +94,51 @@ def q_cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_full_load_then_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3: snapshot full-load (synthetic lsn = -1 inserts,
+    FullLoadStreamer.cs:134-150) followed by the CDC tail on the same
+    table. Oracle: last-write-wins over (snapshot-as-events ∪ changelog)."""
+    log = changelog_from_events(spark, sf_dir)
+    # deterministic snapshot: one base row per repo seen in the log
+    snapshot = log.select("repo").distinct().select(
+        "repo",
+        F.lit("BASE").alias("path"),
+        F.md5(F.col("repo")).alias("commit"),
+        F.lit("base").alias("lang"),
+        F.concat(F.lit("base:"), F.col("repo")).alias("content"),
+    )
+    work = tempfile.mkdtemp(prefix="cdc_fl_")
+    cfg = ReplayConfig(epoch_events=4_000, num_buckets=16, epoch_strategy="quantile",
+                       collect_metrics=False)
+    from cdc_tools_spark.pipeline import full_load
+
+    full_load(spark, snapshot, os.path.join(work, "table"), os.path.join(work, "state"),
+              execution_id="fl", config=cfg)
+    replay(spark, log, os.path.join(work, "table"), os.path.join(work, "state"),
+           execution_id="tail", config=cfg)
+    final = ParquetMergeTable(spark, os.path.join(work, "table")).read()
+    return final.select("repo", "path", "commit", "lang", "content")
+
+
+def q_cdc_out_of_order_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered (newer-wins, tombstoned) merge: epochs applied in REVERSED
+    LSN order must converge to the same final state as the in-order replay
+    — the streaming tail's out-of-order guarantee. Oracle: the plain
+    in-order last-write-wins final state."""
+    log = changelog_from_events(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="cdc_ooo_")
+    from cdc_tools_spark.lake.parquet_merge import ParquetMergeTable as PMT
+    from cdc_tools_spark.operators.epochs import plan_epochs
+    from cdc_tools_spark.pipeline import _payload_schema
+
+    PMT.create(spark, os.path.join(work, "t"), _payload_schema(log),
+               num_buckets=16, order_cols=("lsn", "seqval"))
+    table = PMT(spark, os.path.join(work, "t"))
+    for epoch in reversed(plan_epochs(log, 2_000)):
+        table.merge(log.where(epoch.predicate()), epoch.epoch_id, collect_metrics=False)
+    return table.read().select("repo", "path", "commit", "lang", "content")
+
+
 def q_cdc_upsert_delete_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K2/K3: per-repo split of the compacted batch into upsert and delete
     sets (the reference's two staging documents)."""
@@ -181,6 +226,29 @@ SELECT lsn, seqval, change_type, repo, path, "commit", lang, content FROM compac
     + """
 SELECT repo, path, "commit", lang, content, sha256(content) AS content_sha256
 FROM compacted WHERE change_type <> 1
+""",
+    "cdc_full_load_then_tail": _LOG_CTE
+    + """,
+snapshot_events AS (
+  SELECT CAST(-1 AS BIGINT) AS lsn, CAST(0 AS BIGINT) AS seqval,
+         CAST(2 AS INT) AS change_type, repo, 'BASE' AS path,
+         md5(repo) AS "commit", 'base' AS lang, 'base:' || repo AS content
+  FROM (SELECT DISTINCT repo FROM log)),
+all_ev AS (
+  SELECT * FROM snapshot_events
+  UNION ALL
+  SELECT lsn, seqval, change_type, repo, path, "commit", lang, content FROM log),
+admitted2 AS (SELECT * FROM all_ev WHERE change_type <> 3),
+ranked2 AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY repo, path ORDER BY lsn DESC, seqval DESC) AS rn
+  FROM admitted2)
+SELECT repo, path, "commit", lang, content
+FROM ranked2 WHERE rn = 1 AND change_type <> 1
+""",
+    "cdc_out_of_order_replay": _COMPACTED_CTE
+    + """
+SELECT repo, path, "commit", lang, content FROM compacted WHERE change_type <> 1
 """,
     "cdc_upsert_delete_split": _COMPACTED_CTE
     + """
@@ -352,6 +420,8 @@ def queries() -> dict[str, QueryFn]:
         "cdc_lsn_range_scan": q_cdc_lsn_range_scan,
         "cdc_compaction": q_cdc_compaction,
         "cdc_replay_final_state": q_cdc_replay_final_state,
+        "cdc_full_load_then_tail": q_cdc_full_load_then_tail,
+        "cdc_out_of_order_replay": q_cdc_out_of_order_replay,
         "cdc_upsert_delete_split": q_cdc_upsert_delete_split,
         "cdc_transactions": q_cdc_transactions,
         "cdc_watermarks": q_cdc_watermarks,
