@@ -461,5 +461,10 @@ class ParquetMergeTable(LakeTable):
             "buckets": dict(new_buckets),
             "epoch_id": epoch_id,
         }
+        # Bound manifest size: keep the most recent snapshots' full bucket
+        # maps (each is O(num_buckets)); older versions' data files remain
+        # on disk until vacuum(), but are no longer time-travelable.
+        retain = sorted((int(v) for v in m["versions"]), reverse=True)[:16]
+        m["versions"] = {str(v): m["versions"][str(v)] for v in retain}
         self._store(m)
         return MergeResult(epoch_id, n_upserts, n_deletes, len(touched), version, lineage)
