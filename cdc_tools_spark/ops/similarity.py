@@ -1,16 +1,26 @@
 """Similarity search over embedding columns (``array<float>``).
 
-* :func:`cosine_pairs` / :func:`topk_cosine` — brute-force exact baseline.
-  All arithmetic in double precision via JVM higher-order functions
-  (``zip_with`` + ``aggregate``) — no UDF, no Python.
-* :func:`lsh_buckets` / :func:`topk_cosine_lsh` — random-hyperplane LSH:
-  the scale path. Hyperplane weights are ±1 derived from md5 (deterministic
-  and reproducible in SQL for the oracle). Candidates = vectors sharing a
-  bucket signature; exact cosine only within buckets.
+* :func:`banded_buckets` / :func:`ann_candidates` /
+  :func:`topk_cosine_lsh` / :func:`cosine_pairs_lsh` — **banded multi-table
+  random-hyperplane LSH**: the registered discovery path. Several
+  independent plane sets ("bands", mirroring the MinHash-LSH band structure
+  in :mod:`cdc_tools_spark.ops.dedup`); a pair is a candidate if it shares
+  a bucket in ANY band. Buckets larger than ``bucket_cap`` are skipped
+  (deterministic skew guard — a degenerate bucket never becomes an
+  all-pairs join). Exact cosine re-ranks candidates only.
+* :func:`cosine_pairs` / :func:`topk_cosine` — brute-force exact baseline,
+  used ONLY by the recall harness (tests) — never registered as a query:
+  both are cartesian products and do not survive 100×.
 
-At 100 TB the brute-force path is O(n²) and exists as the verifier/oracle;
-LSH bucket size controls the candidate-join fan-out, and the bucket join is
-an equi-join on the signature (shuffle on bucket key, AQE-skew-safe).
+Hyperplane weights are ±1 derived from md5 (deterministic and reproducible
+in SQL for the DuckDB oracle). All arithmetic is double precision via JVM
+higher-order functions (``zip_with`` + ``aggregate``) — no UDF, no Python.
+
+Scale shape: bucket signatures are a projection (no shuffle); the candidate
+join shuffles ``|vectors| × num_bands`` rows on (band, bucket) equi-keys;
+``bucket_cap`` bounds per-bucket fan-out; ``planes_per_band`` should grow
+with corpus size (≈ log2(n / target_bucket_size)) so bucket population
+stays bounded while ``num_bands`` buys recall back.
 """
 
 from __future__ import annotations
@@ -115,34 +125,125 @@ def lsh_buckets(
     return df.select(F.col(id_col), F.concat(*bits).alias("bucket"))
 
 
-def topk_cosine_lsh(
+def banded_buckets(
     df: DataFrame,
-    k: int = 5,
-    num_planes: int = 8,
+    num_bands: int = 8,
+    planes_per_band: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: exact cosine ranking within LSH buckets only."""
+    """(id, band, bucket) — one signature per band from its own plane set.
+
+    Band ``t`` owns global planes ``[t·P, (t+1)·P)`` of
+    ``hyperplanes(num_bands·planes_per_band, dim)``, so each band is an
+    independent LSH table (the multi-probe recall lever). The signature is
+    a pure projection — zero shuffle until the candidate join."""
+    planes = hyperplanes(num_bands * planes_per_band, dim)
+    vd = _as_double(F.col(vec_col))
+    band_sigs = []
+    for t in range(num_bands):
+        bits = []
+        for p in range(t * planes_per_band, (t + 1) * planes_per_band):
+            plane = F.array(*[F.lit(float(w)) for w in planes[p]])
+            bits.append(F.when(dot(vd, plane) > 0, F.lit("1")).otherwise(F.lit("0")))
+        band_sigs.append(F.concat(*bits))
+    return df.select(
+        F.col(id_col), F.posexplode(F.array(*band_sigs)).alias("band", "bucket")
+    )
+
+
+def ann_candidates(
+    df: DataFrame,
+    num_bands: int = 8,
+    planes_per_band: int = 4,
+    dim: int = 64,
+    bucket_cap: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distinct undirected candidate pairs (id_a < id_b) sharing ≥1 band
+    bucket; buckets with more than ``bucket_cap`` members are skipped.
+
+    The cap is the skew guard: one degenerate bucket (near-zero vectors,
+    duplicated embeddings) would otherwise quadratically dominate the whole
+    job. Capped buckets are *dropped*, not sampled — deterministic, hence
+    oracle-reproducible; raise ``planes_per_band`` if caps fire broadly."""
+    buckets = banded_buckets(df, num_bands, planes_per_band, dim, id_col, vec_col)
+    ok = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") <= bucket_cap)
+        .select("band", "bucket")
+    )
+    pruned = buckets.join(ok, ["band", "bucket"])
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def topk_cosine_lsh(
+    df: DataFrame,
+    k: int = 5,
+    num_bands: int = 8,
+    planes_per_band: int = 4,
+    dim: int = 64,
+    bucket_cap: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: banded-LSH candidate discovery + exact cosine
+    re-rank. No cartesian product anywhere in the plan; the re-rank joins
+    vectors back by id (two id-equi-joins) over candidates only."""
     from pyspark.sql import Window
 
-    buckets = lsh_buckets(df, num_planes, dim, id_col, vec_col)
-    vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v")).join(
-        buckets, id_col
+    und = ann_candidates(
+        df, num_bands, planes_per_band, dim, bucket_cap, id_col, vec_col
     )
-    a = vecs.select(
-        F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("bucket")
+    directed = und.unionByName(
+        und.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
-    b = vecs.select(
-        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("bucket")
+    vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    scored = (
+        directed.join(vecs.select(F.col(id_col).alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(vecs.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
     )
-    pairs = a.join(b, "bucket").where(F.col("id_a") != F.col("id_b"))
-    scored = pairs.select(
-        "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos")
-    ).dropDuplicates(["id_a", "id_b"])
     w = Window.partitionBy("id_a").orderBy(F.col("cos").desc(), F.col("id_b"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("id_a", "id_b", "cos", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def cosine_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.9,
+    num_bands: int = 8,
+    planes_per_band: int = 4,
+    dim: int = 64,
+    bucket_cap: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: LSH candidate discovery + exact
+    cosine verify ≥ threshold (the discovery/verify split of
+    :func:`cdc_tools_spark.ops.dedup.minhash_lsh_candidates`)."""
+    und = ann_candidates(
+        df, num_bands, planes_per_band, dim, bucket_cap, id_col, vec_col
+    )
+    vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    return (
+        und.join(vecs.select(F.col(id_col).alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(vecs.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+        .where(F.col("cos") >= threshold)
     )

@@ -62,15 +62,21 @@ def q_dedup_simhash(spark, sf_dir):
 # -- similarity -------------------------------------------------------------
 
 
+# Banded-LSH parameters shared by the Spark queries and their DuckDB
+# oracles below. 8 bands × 4 planes: at test scale recall stays high while
+# the structure (multi-table bands + bucket cap) is the 100-TB shape —
+# production raises planes_per_band with corpus size.
+_ANN_BANDS, _ANN_PLANES, _ANN_CAP = 8, 4, 100
+
+
 def q_embed_neardup_cosine(spark, sf_dir):
     # 0.35 sits at the ~99.9th percentile of this corpus's pairwise cosines
-    # (max 0.51): a non-vacuous near-dup set of a few hundred pairs.
-    return S.cosine_pairs(_emb(spark, sf_dir), threshold=0.35)
-
-
-def q_ann_topk_cosine(spark, sf_dir):
-    emb = _emb(spark, sf_dir)
-    return S.topk_cosine(emb, k=5, queries=emb.where(F.col("vec_id") < 25))
+    # (max 0.51): a non-vacuous near-dup set. Discovery is banded LSH —
+    # never all pairs; exact cosine verifies candidates only.
+    return S.cosine_pairs_lsh(
+        _emb(spark, sf_dir), threshold=0.35,
+        num_bands=_ANN_BANDS, planes_per_band=_ANN_PLANES, bucket_cap=_ANN_CAP,
+    )
 
 
 def q_embed_lsh_buckets(spark, sf_dir):
@@ -81,8 +87,13 @@ def q_embed_lsh_buckets(spark, sf_dir):
 
 
 def q_ann_topk_lsh(spark, sf_dir):
-    """Rows-only check (approximate op; recall measured in tests)."""
-    return S.topk_cosine_lsh(_emb(spark, sf_dir), k=5, num_planes=8, dim=64)
+    """Banded-LSH ANN top-k — fully oracle-checked (deterministic md5
+    hyperplanes); recall@k vs the exact scan is asserted in
+    tests/test_ops.py::test_ann_lsh_recall."""
+    return S.topk_cosine_lsh(
+        _emb(spark, sf_dir), k=5,
+        num_bands=_ANN_BANDS, planes_per_band=_ANN_PLANES, bucket_cap=_ANN_CAP,
+    )
 
 
 # -- oracle SQL -------------------------------------------------------------
@@ -115,6 +126,40 @@ WITH flat AS (
   FROM embeddings),
 norms AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM flat GROUP BY vec_id)
 """
+
+# Banded multi-table hyperplane LSH (ops.similarity.banded_buckets /
+# ann_candidates) in SQL: global plane index p ∈ [0, bands·planes);
+# band = p // planes; plane weight = ±1 from the first md5 nibble of "p:d".
+_BANDED_CTE = """,
+planes AS (
+  SELECT p, CAST(floor(p / {planes}) AS INT) AS band, d,
+    CASE WHEN (strpos('0123456789abcdef',
+      substr(md5(CAST(p AS STRING) || ':' || CAST(d AS STRING)), 1, 1)) - 1) % 2 = 1
+    THEN 1.0 ELSE -1.0 END AS w
+  FROM (SELECT unnest(generate_series(0, {max_p})) AS p) pp,
+       (SELECT unnest(generate_series(0, 63)) AS d) dd),
+proj AS (
+  SELECT f.vec_id, pl.band, pl.p, sum(f.val * pl.w) AS pr
+  FROM flat f JOIN planes pl ON pl.d = f.pos - 1
+  GROUP BY 1, 2, 3),
+buckets AS (
+  SELECT vec_id, band,
+    string_agg(CASE WHEN pr > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+  FROM proj GROUP BY vec_id, band),
+ok AS (
+  SELECT band, bucket FROM buckets GROUP BY band, bucket
+  HAVING count(*) <= {cap}),
+pruned AS (
+  SELECT b.vec_id, b.band, b.bucket
+  FROM buckets b JOIN ok ON ok.band = b.band AND ok.bucket = b.bucket),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM pruned a
+  JOIN pruned b ON a.band = b.band AND a.bucket = b.bucket
+    AND a.vec_id < b.vec_id)
+""".format(
+    planes=_ANN_PLANES, max_p=_ANN_BANDS * _ANN_PLANES - 1, cap=_ANN_CAP
+)
 
 
 def _lang_score_sql(lang: str) -> str:
@@ -219,34 +264,19 @@ SELECT doc_id,
 FROM sums GROUP BY doc_id
 """,
     "embed_neardup_cosine": _FLAT_CTE
+    + _BANDED_CTE
     + """,
 dots AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.val * b.val) AS dp
-  FROM flat a JOIN flat b ON a.pos = b.pos AND a.vec_id < b.vec_id
+  SELECT c.id_a, c.id_b, sum(fa.val * fb.val) AS dp
+  FROM cand c
+  JOIN flat fa ON fa.vec_id = c.id_a
+  JOIN flat fb ON fb.vec_id = c.id_b AND fb.pos = fa.pos
   GROUP BY 1, 2)
 SELECT id_a, id_b, round(dp / (na.nrm * nb.nrm), 6) AS cos
 FROM dots
 JOIN norms na ON na.vec_id = id_a
 JOIN norms nb ON nb.vec_id = id_b
 WHERE round(dp / (na.nrm * nb.nrm), 6) >= 0.35
-""",
-    "ann_topk_cosine": _FLAT_CTE
-    + """,
-dots AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.val * b.val) AS dp
-  FROM flat a JOIN flat b ON a.pos = b.pos AND a.vec_id != b.vec_id
-  WHERE a.vec_id < 25
-  GROUP BY 1, 2),
-scored AS (
-  SELECT id_a, id_b, round(dp / (na.nrm * nb.nrm), 6) AS cos
-  FROM dots
-  JOIN norms na ON na.vec_id = id_a
-  JOIN norms nb ON nb.vec_id = id_b),
-ranked AS (
-  SELECT id_a, id_b, cos,
-    CAST(row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS BIGINT) AS rank
-  FROM scored)
-SELECT id_a, id_b, cos, rank FROM ranked WHERE rank <= 5
 """,
     "embed_lsh_buckets": _FLAT_CTE
     + """,
@@ -267,7 +297,30 @@ buckets AS (
 SELECT bucket, CAST(count(*) AS BIGINT) AS n_vectors, min(vec_id) AS min_vec_id
 FROM buckets GROUP BY bucket
 """,
-    "ann_topk_lsh": None,  # approximate op: rows-only driver check
+    "ann_topk_lsh": _FLAT_CTE
+    + _BANDED_CTE
+    + """,
+dcand AS (
+  SELECT id_a, id_b FROM cand
+  UNION ALL
+  SELECT id_b AS id_a, id_a AS id_b FROM cand),
+dots AS (
+  SELECT c.id_a, c.id_b, sum(fa.val * fb.val) AS dp
+  FROM dcand c
+  JOIN flat fa ON fa.vec_id = c.id_a
+  JOIN flat fb ON fb.vec_id = c.id_b AND fb.pos = fa.pos
+  GROUP BY 1, 2),
+scored AS (
+  SELECT id_a, id_b, round(dp / (na.nrm * nb.nrm), 6) AS cos
+  FROM dots
+  JOIN norms na ON na.vec_id = id_a
+  JOIN norms nb ON nb.vec_id = id_b),
+ranked AS (
+  SELECT id_a, id_b, cos,
+    CAST(row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS BIGINT) AS rank
+  FROM scored)
+SELECT id_a, id_b, cos, rank FROM ranked WHERE rank <= 5
+""",
 }
 
 
@@ -281,7 +334,6 @@ def queries():
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "embed_neardup_cosine": q_embed_neardup_cosine,
-        "ann_topk_cosine": q_ann_topk_cosine,
         "embed_lsh_buckets": q_embed_lsh_buckets,
         "ann_topk_lsh": q_ann_topk_lsh,
     }
