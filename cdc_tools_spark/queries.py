@@ -196,6 +196,54 @@ def q_cdc_changekey_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_publish_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1+P6: keyed-JSON publish → file topic (partition/offset assignment)
+    → consume → from_json decode → compact. The round trip must be the
+    identity on the changelog, so the final state equals the direct
+    compaction (the oracle). Covers the reference's producer/consumer pair
+    (KeyedJsonProducer.cs:32-48, KeyedJsonConsumer.cs:88-152)."""
+    from pyspark.sql import types as T
+
+    from cdc_tools_spark.bus import FileTopic, deserialize_changelog, serialize_changelog
+    from cdc_tools_spark.lake.parquet_merge import META_COLS
+
+    log = changelog_from_events(spark, sf_dir)
+    payload = T.StructType([f for f in log.schema.fields if f.name not in META_COLS])
+    topic = FileTopic(
+        spark, os.path.join(tempfile.mkdtemp(prefix="cdc_topic_"), "t"), n_partitions=8
+    )
+    topic.append(
+        serialize_changelog(log, carry_cols=("lsn", "seqval")),
+        order_cols=("lsn", "seqval"),
+    )
+    consumed = deserialize_changelog(topic.read(), payload)
+    compacted = compact_last_write_wins(consumed)
+    return compacted.where(F.col("change_type") != 1).select(
+        "repo", "path", "commit", "lang", "content"
+    )
+
+
+def q_cdc_topic_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1: keyed partition routing + dense per-partition offsets. max_offset
+    = n_messages − 1 certifies offsets are dense from 0; the md5-nibble
+    partitioner is reproduced bit-for-bit by the oracle."""
+    from cdc_tools_spark.bus import FileTopic, serialize_changelog
+
+    log = changelog_from_events(spark, sf_dir)
+    topic = FileTopic(
+        spark, os.path.join(tempfile.mkdtemp(prefix="cdc_topic_"), "t"), n_partitions=8
+    )
+    topic.append(
+        serialize_changelog(log, carry_cols=("lsn", "seqval")),
+        order_cols=("lsn", "seqval"),
+    )
+    return topic.read().groupBy("partition").agg(
+        F.count(F.lit(1)).alias("n_messages"),
+        F.countDistinct("key").alias("n_keys"),
+        F.max("offset").alias("max_offset"),
+    )
+
+
 def q_cdc_sha256_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P10: the vectorized pandas-UDF sha256 versus the oracle's digest on
     every compacted row — proves the Python boundary is Arrow-batched and
@@ -300,6 +348,29 @@ FROM log GROUP BY repo
     + """
 SELECT repo, path, sha256(content) AS content_sha256
 FROM compacted WHERE change_type <> 1
+""",
+    # publish→consume is the identity on the changelog, so the oracle is the
+    # direct compaction final state.
+    "cdc_publish_roundtrip": _COMPACTED_CTE
+    + """
+SELECT repo, path, "commit", lang, content FROM compacted WHERE change_type <> 1
+""",
+    # partitioner twin: first md5 nibble of the ChangeKey mod 8; offsets are
+    # dense per partition, so max_offset must equal count-1.
+    "cdc_topic_partitions": _LOG_CTE
+    + """,
+keyed AS (
+  SELECT repo || '|' || path AS key FROM log),
+parts AS (
+  SELECT key,
+    CAST((strpos('0123456789abcdef', substr(md5(key), 1, 1)) - 1) % 8 AS INT)
+      AS partition
+  FROM keyed)
+SELECT partition,
+  CAST(count(*) AS BIGINT) AS n_messages,
+  CAST(count(DISTINCT key) AS BIGINT) AS n_keys,
+  CAST(count(*) - 1 AS BIGINT) AS max_offset
+FROM parts GROUP BY partition
 """,
 }
 
@@ -427,6 +498,8 @@ def queries() -> dict[str, QueryFn]:
         "cdc_watermarks": q_cdc_watermarks,
         "cdc_epoch_plan": q_cdc_epoch_plan,
         "cdc_changekey_dedup": q_cdc_changekey_dedup,
+        "cdc_publish_roundtrip": q_cdc_publish_roundtrip,
+        "cdc_topic_partitions": q_cdc_topic_partitions,
         "cdc_sha256_parity": q_cdc_sha256_parity,
         "pricing_summary": q_pricing_summary,
         "top_customer_revenue": q_top_customer_revenue,

@@ -76,6 +76,15 @@ def stream_tail(
         .parquet(log_dir)
     )
 
+    return (
+        stream.writeStream.foreachBatch(_merge_batch_fn(table, commit_log, execution_id))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=config.processing_time)
+        .start()
+    )
+
+
+def _merge_batch_fn(table, commit_log, execution_id):
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         # merge() compacts internally — one aggregation does micro-batch
         # compaction and newer-wins dedup together.
@@ -99,6 +108,52 @@ def stream_tail(
                 partition_lineage={str(k): v for k, v in result.partition_lineage.items()},
             )
         )
+
+    return apply_batch
+
+
+def stream_tail_topic(
+    spark: SparkSession,
+    topic_root: str,
+    table_root: str,
+    state_root: str,
+    checkpoint_dir: str,
+    execution_id: str = "stream-topic-0",
+    config: StreamConfig | None = None,
+) -> StreamingQuery:
+    """The S9 Kafka-shape source: tail a keyed-JSON message topic
+    (:class:`cdc_tools_spark.bus.FileTopic` layout) and ``from_json``-decode
+    each micro-batch back into changelog rows before the ordered merge —
+    the KeyedJsonConsumer.cs:88-152 consume→deserialize→buffer path.
+
+    On a real bus, replace ``readStream.schema(...).parquet(topic_root)``
+    with ``readStream.format("kafka")...`` — ``key``/``value`` columns and
+    the decode/merge plan are identical."""
+    import pyspark.sql.types as T
+
+    from cdc_tools_spark.bus.file_topic import TOPIC_SCHEMA
+    from cdc_tools_spark.bus.json_codec import deserialize_changelog
+
+    config = config or StreamConfig()
+    commit_log = CommitLog(state_root, execution_id)
+    payload = T.StructType([f for f in BINLOG_SCHEMA.fields if f.name not in META_COLS])
+
+    table = ParquetMergeTable(spark, table_root, config.key_cols)
+    if not table.exists():
+        ParquetMergeTable.create(
+            spark, table_root, payload, config.key_cols, config.num_buckets,
+            order_cols=("lsn", "seqval"),
+        )
+
+    stream = (
+        spark.readStream.schema(TOPIC_SCHEMA)
+        .option("maxFilesPerTrigger", config.max_files_per_trigger)
+        .parquet(topic_root)
+    )
+    merge = _merge_batch_fn(table, commit_log, execution_id)
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        merge(deserialize_changelog(batch, payload), batch_id)
 
     return (
         stream.writeStream.foreachBatch(apply_batch)

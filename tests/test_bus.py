@@ -1,0 +1,217 @@
+"""Serialization surface: keyed JSON codec, file topic, Avro schema gen."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import types as T
+
+from cdc_tools_spark.bus import (
+    FileTopic,
+    deserialize_changelog,
+    serialize_changelog,
+)
+from cdc_tools_spark.functions.avro_schema import (
+    avro_codec_available,
+    avro_to_struct_type,
+    generate_avro_schema,
+    schema_fingerprint,
+)
+from cdc_tools_spark.sources.binlog import BINLOG_SCHEMA, META_COLS
+
+
+@pytest.fixture(scope="module")
+def small_log(spark):
+    rows = [
+        (0, 0, 2, "repo_a", "p1", "c0", "py", "hello"),
+        (0, 1, 2, "repo_a", "p2", "c1", "py", "world"),
+        (1, 0, 4, "repo_a", "p1", "c2", "py", "hello v2"),
+        (1, 1, 1, "repo_a", "p2", "c3", "py", None),
+        (2, 0, 2, "repo_b", "p1", "c4", "md", "docs"),
+    ]
+    return spark.createDataFrame(rows, schema=BINLOG_SCHEMA)
+
+
+PAYLOAD = T.StructType([f for f in BINLOG_SCHEMA.fields if f.name not in META_COLS])
+
+
+def test_json_roundtrip_is_identity(spark, small_log):
+    msgs = serialize_changelog(small_log)
+    assert msgs.columns == ["key", "value"]
+    back = deserialize_changelog(msgs, PAYLOAD)
+    orig = {tuple(r) for r in small_log.collect()}
+    got = {tuple(r) for r in back.select(*small_log.columns).collect()}
+    assert got == orig
+
+
+def test_envelope_carries_change_key_and_meta(spark, small_log):
+    row = serialize_changelog(small_log).where(
+        F.get_json_object("value", "$.lsn") == "0"
+    ).collect()[0]
+    import json
+
+    env = json.loads(row["value"])
+    assert set(env) == {"lsn", "seqval", "change_type", "change_key", "data"}
+    assert env["change_key"] == row["key"] == f"{env['data']['repo']}|{env['data']['path']}"
+
+
+def test_topic_keyed_partitioning_and_dense_offsets(spark, small_log, tmp_path):
+    topic = FileTopic(spark, str(tmp_path / "t"), n_partitions=4)
+    topic.append(
+        serialize_changelog(small_log, carry_cols=("lsn", "seqval")),
+        order_cols=("lsn", "seqval"),
+    )
+    rows = topic.read().collect()
+    # same key -> same partition, always
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["key"], set()).add(r["partition"])
+    assert all(len(ps) == 1 for ps in by_key.values())
+    # offsets dense from 0 per partition
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r["partition"], []).append(r["offset"])
+    for offs in by_part.values():
+        assert sorted(offs) == list(range(len(offs)))
+
+
+def test_topic_offsets_continue_across_appends_and_resume(spark, small_log, tmp_path):
+    topic = FileTopic(spark, str(tmp_path / "t"), n_partitions=2)
+    msgs = serialize_changelog(small_log, carry_cols=("lsn", "seqval"))
+    topic.append(msgs, order_cols=("lsn", "seqval"))
+    mid = topic.end_offsets()
+    topic.append(msgs, order_cols=("lsn", "seqval"))
+    # second append continues each partition's offset sequence
+    for p, end in topic.end_offsets().items():
+        assert end == 2 * mid[p]
+    # offset-range consume: only the second append's messages
+    resumed = topic.read(from_offsets=mid)
+    assert resumed.count() == small_log.count()
+    assert topic.read(to_offsets=mid).count() == small_log.count()
+
+
+def test_topic_preserves_per_key_order(spark, small_log, tmp_path):
+    """Messages of one key are offset-ordered by (lsn, seqval) — the keyed
+    producer's per-key ordering guarantee."""
+    topic = FileTopic(spark, str(tmp_path / "t"), n_partitions=2)
+    topic.append(
+        serialize_changelog(small_log, carry_cols=("lsn", "seqval")),
+        order_cols=("lsn", "seqval"),
+    )
+    decoded = deserialize_changelog(topic.read().withColumn("off", F.col("offset")), PAYLOAD)
+    # join offsets back: for each key, offset order == (lsn, seqval) order
+    rows = topic.read().collect()
+    import json
+
+    per_key = {}
+    for r in rows:
+        env = json.loads(r["value"])
+        per_key.setdefault(r["key"], []).append(
+            (r["offset"], env["lsn"], env["seqval"])
+        )
+    for evs in per_key.values():
+        by_offset = sorted(evs)
+        assert by_offset == sorted(evs, key=lambda e: (e[1], e[2]))
+    assert decoded.count() == small_log.count()
+
+
+def test_stream_tail_topic_converges(spark, small_log, tmp_path):
+    """Topic → from_json decode → ordered merge streaming tail reaches the
+    same final state as direct compaction (S9 Kafka-shape source)."""
+    from cdc_tools_spark.operators.compaction import compact_last_write_wins
+    from cdc_tools_spark.streaming.tail import StreamConfig, stream_tail_topic
+
+    topic = FileTopic(spark, str(tmp_path / "topic"), n_partitions=2)
+    topic.append(
+        serialize_changelog(small_log, carry_cols=("lsn", "seqval")),
+        order_cols=("lsn", "seqval"),
+    )
+    q = stream_tail_topic(
+        spark,
+        str(tmp_path / "topic"),
+        str(tmp_path / "table"),
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+        config=StreamConfig(num_buckets=4, max_files_per_trigger=1),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    from cdc_tools_spark.lake.parquet_merge import ParquetMergeTable
+
+    final = ParquetMergeTable(spark, str(tmp_path / "table")).read()
+    expect = compact_last_write_wins(small_log).where(F.col("change_type") != 1)
+    got = {tuple(r) for r in final.select("repo", "path", "commit", "content").collect()}
+    want = {tuple(r) for r in expect.select("repo", "path", "commit", "content").collect()}
+    assert got == want
+
+
+# -- Avro schema generation (P7/P8) -----------------------------------------
+
+TYPED = T.StructType(
+    [
+        T.StructField("name", T.StringType(), True),
+        T.StructField("n", T.LongType(), False),
+        T.StructField("small", T.IntegerType(), True),
+        T.StructField("amount", T.DecimalType(12, 2), True),
+        T.StructField("d", T.DateType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("blob", T.BinaryType(), True),
+        T.StructField("flag", T.BooleanType(), True),
+    ]
+)
+
+
+def test_avro_schema_generation_matches_reference_table():
+    s = generate_avro_schema(TYPED, name="person")
+    assert s["type"] == "record" and s["name"] == "person"
+    # envelope fields first, in the reference's order (AvroSchemaGenerator.cs:19-37)
+    assert [f["name"] for f in s["fields"][:4]] == [
+        "lsn", "seqval", "change_key", "change_type",
+    ]
+    assert s["fields"][3]["type"] == "int"
+    by_name = {f["name"]: f["type"] for f in s["fields"][4:]}
+    assert by_name["name"] == ["null", "string"]
+    assert by_name["n"] == "long"  # non-nullable -> no union
+    assert by_name["small"] == ["null", "int"]
+    assert by_name["amount"][1] == {
+        "type": "bytes", "logicalType": "decimal", "precision": 12, "scale": 2,
+    }
+    assert by_name["d"][1] == {"type": "int", "logicalType": "date"}
+    assert by_name["ts"][1] == {"type": "long", "logicalType": "timestamp-micros"}
+    assert by_name["blob"][1] == "bytes"
+    assert by_name["flag"][1] == "boolean"
+
+
+def test_avro_schema_round_trips_to_struct_type():
+    back = avro_to_struct_type(generate_avro_schema(TYPED))
+    assert [(f.name, f.dataType) for f in back.fields] == [
+        (f.name, f.dataType) for f in TYPED.fields
+    ]
+
+
+def test_schema_fingerprint_detects_evolution():
+    a = schema_fingerprint(generate_avro_schema(TYPED))
+    evolved = T.StructType(list(TYPED.fields) + [T.StructField("extra", T.LongType(), True)])
+    b = schema_fingerprint(generate_avro_schema(evolved))
+    assert a != b
+    assert a == schema_fingerprint(generate_avro_schema(TYPED))  # stable
+
+
+def test_avro_binary_codec_roundtrip(spark, small_log):
+    """Full to_avro/from_avro round trip — runs only where the spark-avro
+    jar is on the classpath (not shipped in this sandbox)."""
+    if not avro_codec_available(spark):
+        pytest.skip("spark-avro jar not on classpath")
+    import json
+
+    from pyspark.sql.avro.functions import from_avro, to_avro
+
+    schema_json = json.dumps(generate_avro_schema(PAYLOAD, envelope=False))
+    payload = small_log.select(F.struct(*[f.name for f in PAYLOAD.fields]).alias("p"))
+    encoded = payload.select(to_avro("p", schema_json).alias("b"))
+    decoded = encoded.select(from_avro("b", schema_json).alias("p")).select("p.*")
+    assert {tuple(r) for r in decoded.collect()} == {
+        tuple(r) for r in small_log.select(*[f.name for f in PAYLOAD.fields]).collect()
+    }
