@@ -56,13 +56,35 @@ _RANK_TO_TYPE = {v: k for k, v in _WIDEN_CHAIN.items()}
 
 
 def _widen(a: T.DataType, b: T.DataType) -> T.DataType:
-    """Least common widened type of two primitive types (int chain / float
-    chain, int chain promotes into float chain)."""
+    """Least common widened type of two primitive types.
+
+    Supported promotions (the reference's §1.2 type surface maps onto
+    these; ColumnSchema.cs:19-53 round-trips decimal/date/datetime/binary,
+    which here are first-class parquet types needing no promotion):
+
+    * int chain byte→short→int→long; float→double; int chain mixed with
+      float chain → double;
+    * decimal(p1,s1) ∪ decimal(p2,s2) → decimal(max int digits + max
+      scale, max scale) capped at 38 — Iceberg-compatible precision
+      widening (scale never narrows, values never truncate);
+    * identical types (date, timestamp, string, binary, boolean, …) pass
+      through unchanged.
+
+    Anything else (e.g. string→int, int→decimal, timestamp→date) raises —
+    an *explicit* unsupported-promotion error instead of silent data loss.
+    """
     if a == b:
         return a
+    if isinstance(a, T.DecimalType) and isinstance(b, T.DecimalType):
+        scale = max(a.scale, b.scale)
+        int_digits = max(a.precision - a.scale, b.precision - b.scale)
+        return T.DecimalType(min(38, int_digits + scale), scale)
     ra, rb = _WIDEN_CHAIN.get(a.typeName()), _WIDEN_CHAIN.get(b.typeName())
     if ra is None or rb is None:
-        raise ValueError(f"incompatible schema change: {a} vs {b}")
+        raise ValueError(
+            f"incompatible schema change: {a} vs {b} (supported promotions: "
+            "int-chain widening, float->double, decimal precision widening)"
+        )
     hi, lo = max(ra, rb), min(ra, rb)
     if hi >= 11 and lo <= 4:
         return T.DoubleType()  # int-chain mixed with float-chain

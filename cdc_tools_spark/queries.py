@@ -24,7 +24,11 @@ from cdc_tools_spark.operators.compaction import compact_last_write_wins
 from cdc_tools_spark.operators.epochs import plan_epochs
 from cdc_tools_spark.operators.transactions import group_transactions
 from cdc_tools_spark.pipeline import ReplayConfig, replay
-from cdc_tools_spark.sources.binlog import changelog_from_events, changelog_sql
+from cdc_tools_spark.sources.binlog import (
+    TYPED_CHANGELOG_SQL,
+    changelog_from_events,
+    changelog_sql,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -244,6 +248,29 @@ def q_cdc_topic_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_typed_payload_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.2 type breadth: a decimal(12,2)/date/timestamp payload replayed
+    through the full engine (epoch plan → merge → final state). The
+    reference round-trips these SQL Server types through its Kafka/Redshift
+    chain (ColumnSchema.cs:19-53); here they are first-class parquet types
+    flowing through schema evolution and the bucketed merge unchanged."""
+    from cdc_tools_spark.sources.binlog import typed_changelog_from_events
+
+    log = typed_changelog_from_events(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="cdc_typed_")
+    cfg = ReplayConfig(epoch_events=4_000, num_buckets=16, collect_metrics=False)
+    replay(spark, log, os.path.join(work, "table"), os.path.join(work, "state"), config=cfg)
+    final = ParquetMergeTable(spark, os.path.join(work, "table")).read()
+    assert dict(final.dtypes)["amount"] == "decimal(12,2)"  # stored as decimal
+    # compare boundary: decimal -> double (pandas Decimal objects vs DuckDB
+    # float64 would misalign the driver's sorted value comparison)
+    return final.select(
+        "repo", "path",
+        F.col("amount").cast("double").alias("amount"),
+        "event_date", "event_ts", "content",
+    )
+
+
 def q_cdc_sha256_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P10: the vectorized pandas-UDF sha256 versus the oracle's digest on
     every compacted row — proves the Python boundary is Arrow-batched and
@@ -354,6 +381,18 @@ FROM compacted WHERE change_type <> 1
     "cdc_publish_roundtrip": _COMPACTED_CTE
     + """
 SELECT repo, path, "commit", lang, content FROM compacted WHERE change_type <> 1
+""",
+    # typed-payload LWW final state (same derivation SQL, shared verbatim)
+    "cdc_typed_payload_replay": "WITH tlog AS ("
+    + TYPED_CHANGELOG_SQL
+    + """),
+admitted AS (SELECT * FROM tlog WHERE change_type <> 3),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY repo, path ORDER BY lsn DESC, seqval DESC) AS rn
+  FROM admitted)
+SELECT repo, path, CAST(amount AS DOUBLE) AS amount, event_date, event_ts, content
+FROM ranked WHERE rn = 1 AND change_type <> 1
 """,
     # partitioner twin: first md5 nibble of the ChangeKey mod 8; offsets are
     # dense per partition, so max_offset must equal count-1.
@@ -500,6 +539,7 @@ def queries() -> dict[str, QueryFn]:
         "cdc_changekey_dedup": q_cdc_changekey_dedup,
         "cdc_publish_roundtrip": q_cdc_publish_roundtrip,
         "cdc_topic_partitions": q_cdc_topic_partitions,
+        "cdc_typed_payload_replay": q_cdc_typed_payload_replay,
         "cdc_sha256_parity": q_cdc_sha256_parity,
         "pricing_summary": q_pricing_summary,
         "top_customer_revenue": q_top_customer_revenue,

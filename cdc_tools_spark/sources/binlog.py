@@ -168,3 +168,34 @@ def changelog_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
     return spark.sql(changelog_sql("spark"))
+
+
+# The typed-payload changelog: same event derivation, payload exercising the
+# reference's §1.2 type surface (ColumnSchema.cs:19-53 round-trips
+# decimal/date/datetime alongside strings) — decimal(12,2), date, timestamp.
+# Dialect-neutral SQL (no reserved identifiers), shared with the oracle.
+TYPED_CHANGELOG_SQL = """
+SELECT
+  CAST((event_id - (event_id % 4)) / 4 AS BIGINT) AS lsn,
+  CAST(event_id % 4 AS BIGINT) AS seqval,
+  CAST(CASE event_type
+         WHEN 'error' THEN 1
+         WHEN 'click' THEN 2
+         WHEN 'signup' THEN 2
+         WHEN 'view' THEN 3
+         WHEN 'purchase' THEN 4
+         ELSE 2 END AS INT) AS change_type,
+  'repo_' || CAST((user_id * 20 + event_id % 20) % 25 AS STRING) AS repo,
+  'path_' || CAST(user_id * 20 + event_id % 20 AS STRING) AS path,
+  CAST(value AS DECIMAL(12,2)) AS amount,
+  CAST(ts AS DATE) AS event_date,
+  ts AS event_ts,
+  'c:' || CAST(event_id AS STRING) AS content
+FROM events
+"""
+
+
+def typed_changelog_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-payload change log (decimal/date/timestamp) over events.parquet."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+    return spark.sql(TYPED_CHANGELOG_SQL)

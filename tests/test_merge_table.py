@@ -146,3 +146,87 @@ def test_iceberg_sql_generation(spark, monkeypatch):
     assert "t.`repo` = s.`repo` AND t.`path` = s.`path`" in merge_sql
     assert "WHEN MATCHED AND s.change_type = 1 THEN DELETE" in merge_sql
     assert "WHEN NOT MATCHED AND s.change_type != 1 THEN INSERT" in merge_sql
+
+
+# ---------------------------------------------------------------------------
+# §1.2 type breadth: decimal/date/timestamp/binary through evolution + merge
+# ---------------------------------------------------------------------------
+
+
+def test_evolve_decimal_widening_and_typed_passthrough():
+    cur = T.StructType([
+        T.StructField("k", T.StringType(), True),
+        T.StructField("amount", T.DecimalType(10, 2), True),
+        T.StructField("d", T.DateType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("blob", T.BinaryType(), True),
+    ])
+    inc = T.StructType([
+        T.StructField("k", T.StringType(), True),
+        T.StructField("amount", T.DecimalType(14, 4), True),
+        T.StructField("d", T.DateType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("blob", T.BinaryType(), True),
+    ])
+    out, changed = evolve_schema(cur, inc)
+    assert changed
+    assert dict((f.name, f.dataType) for f in out.fields)["amount"] == T.DecimalType(14, 4)
+    # mixed int-digits/scale: (10,2) has 8 int digits, (9,4) has 5 -> (12,4)
+    out2, _ = evolve_schema(
+        T.StructType([T.StructField("a", T.DecimalType(10, 2), True)]),
+        T.StructType([T.StructField("a", T.DecimalType(9, 4), True)]),
+    )
+    assert out2.fields[0].dataType == T.DecimalType(12, 4)
+
+
+def test_evolve_rejects_unsupported_promotions():
+    import pytest
+
+    for cur_t, inc_t in [
+        (T.StringType(), T.LongType()),
+        (T.DecimalType(10, 2), T.DoubleType()),
+        (T.DateType(), T.TimestampType()),
+    ]:
+        with pytest.raises(ValueError, match="incompatible schema change"):
+            evolve_schema(
+                T.StructType([T.StructField("x", cur_t, True)]),
+                T.StructType([T.StructField("x", inc_t, True)]),
+            )
+
+
+def test_typed_payload_merge_and_decimal_column_added_mid_replay(spark, tmp_path):
+    """Epoch 0 has string payload; epoch 1 adds decimal(10,2) + binary
+    columns; epoch 2 widens the decimal to (12,2) — reference semantics:
+    schema change detected mid-stream, applied before the merge
+    (ColumnSchema.cs:19-53, KeyedAvroConsumer.cs:139-142)."""
+    import datetime
+    import decimal
+
+    root = str(tmp_path / "typed")
+    table = ParquetMergeTable.create(spark, root, PAYLOAD, num_buckets=4)
+    table.merge(_batch(spark, [_row(1, 2, "r", "a", "v1")]), 0)
+
+    sch1 = EVENT_SCHEMA + ", amount decimal(10,2), blob binary, day date"
+    b1 = spark.createDataFrame(
+        [{**_row(2, 2, "r", "b", "v2"), "amount": decimal.Decimal("12.34"),
+          "blob": b"\x00\xffbin", "day": datetime.date(2024, 3, 1)}],
+        schema=sch1,
+    )
+    table.merge(b1, 1)
+    got = {(r["repo"], r["path"]): r for r in table.read().collect()}
+    assert got[("r", "a")]["amount"] is None and got[("r", "a")]["blob"] is None
+    assert got[("r", "b")]["amount"] == decimal.Decimal("12.34")
+    assert bytes(got[("r", "b")]["blob"]) == b"\x00\xffbin"
+    assert got[("r", "b")]["day"] == datetime.date(2024, 3, 1)
+
+    sch2 = EVENT_SCHEMA + ", amount decimal(12,2), blob binary, day date"
+    b2 = spark.createDataFrame(
+        [{**_row(3, 2, "r", "c", "v3"), "amount": decimal.Decimal("9876543210.99"),
+          "blob": b"z", "day": datetime.date(2024, 3, 2)}],
+        schema=sch2,
+    )
+    table.merge(b2, 2)
+    assert table.schema()["amount"].dataType == T.DecimalType(12, 2)
+    got = {(r["repo"], r["path"]): r for r in table.read().collect()}
+    assert got[("r", "b")]["amount"] == decimal.Decimal("12.34")  # old rows upcast
+    assert got[("r", "c")]["amount"] == decimal.Decimal("9876543210.99")
