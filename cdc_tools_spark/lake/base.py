@@ -41,6 +41,9 @@ class MergeResult:
     touched_partitions: int
     version: int
     partition_lineage: dict[int, int] = field(default_factory=dict)
+    # raw batch rows BEFORE compaction — observed on the merge job itself
+    # (no second pass over the batch); -1 when metrics were not collected.
+    raw_events: int = -1
 
 
 class LakeTable(ABC):

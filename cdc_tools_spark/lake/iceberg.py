@@ -61,6 +61,33 @@ class IcebergTable(LakeTable):
     def read(self) -> DataFrame:
         return self.spark.table(self.identifier)
 
+    # Promotions Iceberg's spec actually supports (UpdateSchema): int→long,
+    # float→double, decimal precision widening (same scale). Everything
+    # else evolve_schema can produce (byte→short, short→int, int-chain →
+    # double) would fail at runtime on a real cluster — reject it here with
+    # a clear error instead (ADVICE r1 #4).
+    _ICEBERG_PROMOTIONS = {
+        ("integer", "long"),
+        ("float", "double"),
+    }
+
+    @classmethod
+    def _check_promotion(cls, cur: T.DataType, new: T.DataType) -> None:
+        if (cur.typeName(), new.typeName()) in cls._ICEBERG_PROMOTIONS:
+            return
+        if (
+            isinstance(cur, T.DecimalType)
+            and isinstance(new, T.DecimalType)
+            and cur.scale == new.scale
+            and new.precision >= cur.precision
+        ):
+            return
+        raise ValueError(
+            f"Iceberg does not support the type promotion {cur} -> {new} "
+            "(allowed: int->long, float->double, decimal precision widening "
+            "at equal scale); rewrite the table or adjust the source schema"
+        )
+
     def evolve(self, incoming: T.StructType) -> None:
         """ALTER TABLE column-add / type-widen before the merge micro-batch
         (the north rule's schema-evolution step; Iceberg UpdateSchema)."""
@@ -75,6 +102,7 @@ class IcebergTable(LakeTable):
                     f"ALTER TABLE {self.identifier} ADD COLUMN `{f.name}` {_sql_type(f.dataType)}"
                 )
             elif have[f.name].dataType != f.dataType:
+                self._check_promotion(have[f.name].dataType, f.dataType)
                 self._run(
                     f"ALTER TABLE {self.identifier} ALTER COLUMN `{f.name}` "
                     f"TYPE {_sql_type(f.dataType)}"

@@ -106,16 +106,35 @@ def replay(
                 spark, table_root, _payload_schema(log), config.key_cols, config.num_buckets
             )
 
-    epochs = plan_epochs(
-        log, config.epoch_events, config.epoch_strategy, total_events=config.total_events
-    )
+    summary = ReplaySummary()
+    # Resume point comes from the committed LSN high watermark, never from
+    # epoch_id alignment: a re-derived epoch plan (approxQuantile cuts shift
+    # with partitioning — different executor count / file splits on resume)
+    # must not be trusted to match the crashed run's boundaries. Replaying
+    # strictly lsn > watermark can neither drop events nor re-apply older
+    # ones (ADVICE r1, high).
+    committed = commit_log.records()
+    epoch_base = 0
+    if committed:
+        resume_lsn = max(r.to_lsn for r in committed)
+        epoch_base = max(r.epoch for r in committed) + 1
+        log = log.where(F.col("lsn") > resume_lsn)
+        summary.epochs_skipped = len(committed)
+        epochs = plan_epochs(log, config.epoch_events, config.epoch_strategy)
+        epochs = [
+            Epoch(epoch_base + i, e.from_lsn, e.to_lsn) for i, e in enumerate(epochs)
+        ]
+    else:
+        epochs = plan_epochs(
+            log, config.epoch_events, config.epoch_strategy,
+            total_events=config.total_events,
+        )
     provider = epoch_provider or (lambda e: log.where(e.predicate()))
 
-    summary = ReplaySummary()
     for epoch in epochs:
         if max_epochs is not None and summary.epochs_applied >= max_epochs:
             break
-        if commit_log.is_committed(epoch.epoch_id):
+        if commit_log.is_committed(epoch.epoch_id):  # marker race guard
             summary.epochs_skipped += 1
             continue
         # merge() compacts internally (batch compaction and merge dedup are
@@ -128,7 +147,8 @@ def replay(
             batch, epoch.epoch_id, config.collect_metrics,
             prune_buckets=config.bucket_pruning,
         )
-        raw_count = batch.count() if config.collect_metrics else 0
+        # raw count observed on the merge job itself (no second pass)
+        raw_count = max(0, result.raw_events)
         rec = EpochCommit(
             execution_id=execution_id,
             table_name=commit_log.table_name,
@@ -163,7 +183,14 @@ def full_load(
     FullLoadStreamer.cs:74-132): every snapshot row becomes an INSERT with a
     synthetic LSN *below* the CDC range (lsn = -1), mirroring the
     synthetic-ascending-LSN trick at FullLoadStreamer.cs:141-142; the CDC
-    tail then replays from lsn >= 0 on the same table."""
+    tail then replays from lsn >= 0 on the same table.
+
+    Sharing one ``execution_id`` between full_load and the subsequent tail
+    replay is safe *by construction*: resume derives from the committed LSN
+    high watermark (-1 after a full load), so the tail replays every CDC
+    event and numbers its epochs after the full-load markers (ADVICE r1
+    #3 — previously the tail's epoch 0 collided with the full-load marker
+    and was silently skipped)."""
     config = config or ReplayConfig()
     as_events = snapshot.select(
         F.lit(-1).cast("long").alias("lsn"),

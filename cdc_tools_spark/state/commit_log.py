@@ -16,18 +16,21 @@ Crash between 1 and 2 → replay re-merges N: idempotent, no double-apply.
 Marker present → epoch skipped on replay. Net effect: exactly-once.
 
 One JSON file per epoch keeps markers immutable and the "is epoch N
-committed?" check O(1); on a real cluster the directory would live on the
-shared store (S3/HDFS) with conditional put.
+committed?" check O(1). All I/O goes through the Hadoop FileSystem API
+(:mod:`cdc_tools_spark.lake.fsio`), so the marker directory runs unchanged
+on S3A/HDFS; marker creation is create-if-absent (object-store conditional
+put is the hardening for concurrent drivers).
 """
 
 from __future__ import annotations
 
 import json
 import os
-import tempfile
 from dataclasses import asdict, dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+
+from cdc_tools_spark.lake import fsio
 
 
 @dataclass(frozen=True)
@@ -49,45 +52,40 @@ class CommitLog:
         self.execution_id = execution_id
         self.table_name = table_name
         self.dir = os.path.join(root, f"execution_id={execution_id}", f"table={table_name}")
-        os.makedirs(self.dir, exist_ok=True)
+        fsio.mkdirs(self.dir)
 
     def _path(self, epoch: int) -> str:
         return os.path.join(self.dir, f"epoch-{epoch:010d}.json")
 
     def is_committed(self, epoch: int) -> bool:
-        return os.path.exists(self._path(epoch))
+        return fsio.exists(self._path(epoch))
 
     def commit(self, rec: EpochCommit) -> None:
         """Atomic, immutable marker write. Re-committing an epoch is a no-op
         (idempotent replay may race a marker that already exists)."""
         path = self._path(rec.epoch)
-        if os.path.exists(path):
+        if fsio.exists(path):
             return
-        fd, tmp = tempfile.mkstemp(dir=self.dir, prefix=".epoch-", suffix=".tmp")
-        with os.fdopen(fd, "w") as fh:
-            json.dump(asdict(rec), fh)
-        os.replace(tmp, path)
+        fsio.write_json_atomic(path, asdict(rec), indent=None)
 
     def committed_epochs(self) -> list[int]:
         return sorted(
             int(f[len("epoch-") : -len(".json")])
-            for f in os.listdir(self.dir)
+            for f in fsio.listdir(self.dir)
             if f.startswith("epoch-") and f.endswith(".json")
         )
 
     def records(self) -> list[EpochCommit]:
-        out = []
-        for e in self.committed_epochs():
-            with open(self._path(e)) as fh:
-                out.append(EpochCommit(**json.load(fh)))
-        return out
+        return [
+            EpochCommit(**json.loads(fsio.read_text(self._path(e))))
+            for e in self.committed_epochs()
+        ]
 
     def last_committed(self) -> EpochCommit | None:
         epochs = self.committed_epochs()
         if not epochs:
             return None  # the reference's NoStoredState sentinel
-        with open(self._path(epochs[-1])) as fh:
-            return EpochCommit(**json.load(fh))
+        return EpochCommit(**json.loads(fsio.read_text(self._path(epochs[-1]))))
 
     def as_dataframe(self, spark: SparkSession) -> DataFrame:
         """The commit log as a metrics DataFrame (F4 shape)."""

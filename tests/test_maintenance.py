@@ -72,3 +72,59 @@ def test_expire_tombstones(spark, tmp_path):
     # late batch BELOW the watermark must never arrive; one above still works
     table.merge(spark.createDataFrame([_row(12, 2, "c", "v9")], schema=SCHEMA), 2)
     assert {r["path"] for r in table.read().collect()} == {"b", "c"}
+
+
+def test_vacuum_keeps_dirs_referenced_by_retained_snapshots(spark, tmp_path):
+    """Regression (ADVICE r1 #2): a retained snapshot's bucket map may
+    point at *older* version dirs for buckets unchanged at that snapshot;
+    vacuum must keep those dirs or time travel breaks."""
+    root = str(tmp_path / "t")
+    # many buckets so each merge touches only the key's own bucket
+    table = ParquetMergeTable.create(spark, root, PAYLOAD, num_buckets=8)
+    table.merge(spark.createDataFrame([_row(0, 2, "a", "a0")], schema=SCHEMA), 0)  # v1
+    table.merge(spark.createDataFrame([_row(1, 2, "b", "b0")], schema=SCHEMA), 1)  # v2
+    table.merge(spark.createDataFrame([_row(2, 2, "c", "c0")], schema=SCHEMA), 2)  # v3
+    # keep 2 snapshots: v3 and v2; v2's bucket map references v1 for "a"
+    removed = table.vacuum(keep_versions=2)
+    assert 1 not in removed, "v1 is referenced by retained snapshot v2"
+    v2 = {r["path"]: r["content"] for r in table.read_version(2).collect()}
+    assert v2 == {"a": "a0", "b": "b0"}  # time travel to v2 fully intact
+
+
+def test_read_version_expired_raises_descriptive_error(spark, tmp_path):
+    import pytest
+
+    root = str(tmp_path / "t")
+    table = ParquetMergeTable.create(
+        spark, root, PAYLOAD, num_buckets=2, retained_snapshots=2
+    )
+    for i in range(4):
+        table.merge(spark.createDataFrame([_row(i, 2, "a", f"v{i}")], schema=SCHEMA), i)
+    with pytest.raises(ValueError, match="snapshot 1 expired or unknown"):
+        table.read_version(1)
+    assert table.read_version(4).count() == 1  # inside the window
+
+
+def test_rescale_buckets_preserves_reads_and_merges(spark, tmp_path):
+    """Bucket split: grow 2 → 8 buckets; reads unchanged, later merges use
+    the new routing (the 100-TB growth path for a fixed create-time count)."""
+    from cdc_tools_spark.lake.parquet_merge import suggest_num_buckets
+
+    root = str(tmp_path / "t")
+    table = ParquetMergeTable.create(spark, root, PAYLOAD, num_buckets=2)
+    rows = [_row(i, 2, f"p{i}", f"v{i}") for i in range(10)]
+    table.merge(spark.createDataFrame(rows, schema=SCHEMA), 0)
+
+    before = {r["path"]: r["content"] for r in table.read().collect()}
+    table.rescale(8)
+    after = {r["path"]: r["content"] for r in table.read().collect()}
+    assert after == before
+    assert table._load()["num_buckets"] == 8
+
+    table.merge(spark.createDataFrame([_row(99, 2, "p3", "NEW"),
+                                       _row(99, 1, "p4", None)], schema=SCHEMA), 1)
+    got = {r["path"]: r["content"] for r in table.read().collect()}
+    assert got["p3"] == "NEW" and "p4" not in got and len(got) == 9
+
+    # sizing helper: 100 TB at 1 GiB/bucket -> 131072 buckets
+    assert suggest_num_buckets(100 * (1 << 40)) == 131072

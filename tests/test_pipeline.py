@@ -161,3 +161,96 @@ def test_skewed_replay_matches_declarative_oracle(spark, tmp_path):
     # lineage metrics exist for every epoch and cover all touched buckets
     recs = CommitLog(str(tmp_path / "s"), "run-0").records()
     assert all(r.partition_lineage for r in recs)
+
+
+def test_resume_with_shifted_epoch_plan_converges(spark, tmp_path):
+    """Crash-resume under a *different* epoch plan (the approxQuantile-cuts-
+    shift-with-partitioning scenario, ADVICE r1 high): run 1 applies two
+    epochs of ~6 events and crashes; run 2 resumes with epoch_events=11 —
+    completely different boundaries — and must still converge exactly,
+    because resume derives from the committed LSN watermark, not epoch ids."""
+    events, oracle = person_scenario()
+    log = spark.createDataFrame(events, schema=EVENT_SCHEMA)
+    table, state = str(tmp_path / "t"), str(tmp_path / "s")
+
+    replay(spark, log, table, state, config=CFG, max_epochs=2)  # "crash"
+    n_committed = len(CommitLog(state, "run-0").committed_epochs())
+    assert n_committed == 2
+
+    shifted = ReplayConfig(epoch_events=11, num_buckets=8, epoch_strategy="exact")
+    summary = replay(spark, log, table, state, config=shifted)
+    assert summary.epochs_skipped == n_committed
+    # epochs renumbered after the committed ones — no id collision
+    assert min(c.epoch for c in summary.commits) == n_committed
+
+    got = _final_state(spark, table)
+    assert set(got) == set(oracle)
+    assert _sha_set(got) == _sha_set(oracle)
+
+
+def test_full_load_and_tail_share_execution_id(spark, tmp_path):
+    """Regression (ADVICE r1 #3): full_load + tail on the SAME execution_id
+    used to silently skip the tail's epoch 0; watermark-based resume makes
+    the shared namespace correct."""
+    events, oracle = person_scenario()
+    log = spark.createDataFrame(events, schema=EVENT_SCHEMA)
+    snapshot = spark.createDataFrame(
+        [{"repo": "people", "path": "999", "commit": "c0", "lang": "json",
+          "content": '{"id":999,"name":"Base"}'}]
+    )
+    table, state = str(tmp_path / "t"), str(tmp_path / "s")
+    full_load(spark, snapshot, table, state, config=CFG)       # default run-0
+    summary = replay(spark, log, table, state, config=CFG)     # same run-0
+    assert summary.epochs_applied > 0  # tail NOT silently skipped
+    got = _final_state(spark, table)
+    assert set(got) == set(oracle) | {("people", "999")}  # base row survives
+    for k, v in oracle.items():
+        assert got[k]["content"] == v["content"]
+
+
+def test_merge_observes_raw_batch_count_in_same_job(spark, tmp_path):
+    """raw_events rides the merge job's Observation — replay's
+    skipped_events metric needs no second pass over the batch."""
+    events, _ = person_scenario()
+    log = spark.createDataFrame(events, schema=EVENT_SCHEMA)
+    summary = replay(
+        spark, log, str(tmp_path / "t"), str(tmp_path / "s"),
+        config=ReplayConfig(epoch_events=10**6, num_buckets=4, epoch_strategy="exact"),
+    )
+    assert len(summary.commits) == 1
+    c = summary.commits[0]
+    assert c.applied_upserts + c.applied_deletes + c.skipped_events == len(events)
+
+
+def test_merge_rejects_mismatched_key_cols(spark, tmp_path):
+    """S8 negative test: the manifest is the key authority — merging with
+    different key columns raises instead of silently mis-bucketing."""
+    import pytest
+
+    events, _ = person_scenario()
+    log = spark.createDataFrame(events, schema=EVENT_SCHEMA)
+    root = str(tmp_path / "t")
+    replay(spark, log, root, str(tmp_path / "s"), config=CFG)
+    wrong = ParquetMergeTable(spark, root, key_cols=("repo", "commit"))
+    with pytest.raises(ValueError, match="key mismatch"):
+        wrong.merge(log, 99)
+    # key_cols=None loads the authoritative keys from the manifest
+    assert ParquetMergeTable(spark, root).key_cols == ("repo", "path")
+
+
+def test_lake_table_on_file_uri_through_hadoop_fs(spark, tmp_path):
+    """The whole engine (manifest, markers, merge) on a file:// URI —
+    exercised through the Hadoop FileSystem API path, proving the same
+    code runs against hdfs:///s3a:// roots."""
+    events, oracle = person_scenario()
+    log = spark.createDataFrame(events, schema=EVENT_SCHEMA)
+    table = f"file://{tmp_path}/t"
+    state = f"file://{tmp_path}/s"
+    summary = replay(spark, log, table, state, config=CFG)
+    assert summary.epochs_applied >= 2
+    got = _final_state(spark, table)
+    assert set(got) == set(oracle)
+    assert _sha_set(got) == _sha_set(oracle)
+    # resume over the URI commit log is a full skip
+    again = replay(spark, log, table, state, config=CFG)
+    assert again.epochs_applied == 0 and again.epochs_skipped > 0
