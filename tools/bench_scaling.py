@@ -103,21 +103,30 @@ def run_script(cores: int, template: str, **kw) -> dict:
     return _pinned(cores, ["-c", script], {})
 
 
-def best(fn, runs, *args):
-    out = None
+def sessions(runner, runs: int, n_cores: int, x4_cores: int):
+    """Run ``runs`` full (N, 4N) session pairs; report the MEDIAN session
+    efficiency (not best-of) plus the spread — the honest estimator on a
+    noisy shared host (VERDICT r1 'Next round' #9)."""
+    import statistics
+
+    effs, pairs = [], []
     for i in range(runs):
-        r = fn(*args)
-        print(f"  run {i + 1}: {r['events_per_sec']:.0f} events/s", flush=True)
-        if out is None or r["events_per_sec"] > out["events_per_sec"]:
-            out = r
-    return out
+        lo = runner(n_cores)["events_per_sec"]
+        hi = runner(x4_cores)["events_per_sec"]
+        eff = (hi / lo) / (x4_cores / n_cores)
+        effs.append(eff)
+        pairs.append((lo, hi))
+        print(f"  session {i + 1}: N={lo:.0f} 4N={hi:.0f} ev/s eff={eff:.3f}", flush=True)
+    med = statistics.median(effs)
+    mid = sorted(range(runs), key=lambda i: effs[i])[runs // 2]
+    return pairs[mid][0], pairs[mid][1], med, min(effs), max(effs)
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=6_000_000)
     ap.add_argument("--content-chars", type=int, default=2048)  # FIXTURES: 1-2 KB
-    ap.add_argument("--runs", type=int, default=1)
+    ap.add_argument("--runs", type=int, default=3)  # median of >=3 sessions
     ap.add_argument("--n-cores", type=int, default=2)
     ap.add_argument("--x4-cores", type=int, default=8)
     args = ap.parse_args()
@@ -133,11 +142,9 @@ def main() -> None:
         ("pure-CPU control (sha256 range)", lambda c: run_script(c, _CPU_SCRIPT)),
     ):
         print(f"== {name}", flush=True)
-        lo = best(runner, args.runs, args.n_cores)
-        hi = best(runner, args.runs, args.x4_cores)
-        eff = (hi["events_per_sec"] / lo["events_per_sec"]) / (args.x4_cores / args.n_cores)
-        tiers[name] = (lo["events_per_sec"], hi["events_per_sec"], eff)
-        print(f"  efficiency: {eff:.3f}", flush=True)
+        lo, hi, med, emin, emax = sessions(runner, args.runs, args.n_cores, args.x4_cores)
+        tiers[name] = (lo, hi, med, emin, emax)
+        print(f"  median efficiency: {med:.3f} (spread {emin:.3f}–{emax:.3f})", flush=True)
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     e2e = tiers["end-to-end tail→merge (lz4, throughput-optimized)"][2]
@@ -150,12 +157,16 @@ def main() -> None:
         "whole-JVM CPU pinning (taskset), heap ∝ cores (2.5 GB/core), shuffle",
         f"partitions ∝ cores; input: {args.events:,} seeded synthetic change events,",
         f"{args.content_chars} B content (FIXTURES.md sizing), identical at both levels.",
+        f"Each tier = **median of {args.runs} full (N, 4N) session pairs** run in",
+        "this session (not best-of); the spread column is min–max across sessions.",
         "",
-        "| tier | N ev/s | 4N ev/s | efficiency |",
-        "|---|---|---|---|",
+        "| tier | N ev/s | 4N ev/s | median efficiency | spread |",
+        "|---|---|---|---|---|",
     ]
-    for name, (lo, hi, eff) in tiers.items():
-        lines.append(f"| {name} | {lo:.0f} | {hi:.0f} | **{eff:.3f}** |")
+    for name, (lo, hi, eff, emin, emax) in tiers.items():
+        lines.append(
+            f"| {name} | {lo:.0f} | {hi:.0f} | **{eff:.3f}** | {emin:.3f}–{emax:.3f} |"
+        )
     lines += [
         "",
         f"**Scaling-criterion result**: the bandwidth-optimized configuration "
