@@ -94,7 +94,13 @@ class FileTopic:
         base = F.create_map(
             *[F.lit(x) for kv in ends.items() for x in kv]
         )
-        part = partition_for_key("key", self.n_partitions, self.partitioner)
+        # non-keyed messages (key null — the NonKeyed producer twins) spread
+        # by value hash: no per-key order to preserve, just dispersion.
+        part = partition_for_key(
+            F.coalesce(F.col("key"), F.col("value")),
+            self.n_partitions,
+            self.partitioner,
+        )
         w = Window.partitionBy("partition").orderBy(
             *[F.col(c) for c in order_cols], F.col("key")
         )

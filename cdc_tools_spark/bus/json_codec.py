@@ -29,6 +29,7 @@ def serialize_changelog(
     df: DataFrame,
     key_cols: Sequence[str] = KEY_COLS,
     carry_cols: Sequence[str] = (),
+    keyed: bool = True,
 ) -> DataFrame:
     """Changelog → keyed messages ``(key string, value string)``.
 
@@ -36,7 +37,13 @@ def serialize_changelog(
     partition, preserving per-key order — the reference's keyed-producer
     guarantee); ``value`` is the JSON envelope. ``carry_cols`` rides extra
     columns alongside (e.g. ``("lsn", "seqval")`` for the topic's offset
-    ordering) — they are not part of the message."""
+    ordering) — they are not part of the message.
+
+    ``keyed=False`` is the reference's non-keyed producer twin
+    (NonKeyedJsonProducer.cs — identical but for the ``Null`` key type):
+    key is null, the topic spreads messages by value hash, and no per-key
+    ordering is guaranteed — compaction downstream must rely on the
+    envelope's ``(lsn, seqval)``, which the ordered merge does anyway."""
     payload_cols = [c for c in df.columns if c not in META_COLS]
     envelope = F.struct(
         F.col("lsn"),
@@ -45,8 +52,9 @@ def serialize_changelog(
         change_key(*key_cols).alias("change_key"),
         F.struct(*[F.col(c) for c in payload_cols]).alias("data"),
     )
+    key = change_key(*key_cols) if keyed else F.lit(None).cast("string")
     return df.select(
-        change_key(*key_cols).alias("key"),
+        key.alias("key"),
         F.to_json(envelope).alias("value"),
         *[F.col(c) for c in carry_cols],
     )
