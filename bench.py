@@ -47,7 +47,13 @@ def run_replay(
     from cdc_tools_spark.sources.binlog import synthetic_binlog
 
     debug = os.environ.get("BENCH_DEBUG")
-    work = tempfile.mkdtemp(prefix="bench_replay_")
+    # BENCH_WORKDIR relocates table/log/shuffle dirs (e.g. /dev/shm for the
+    # scaling bench: a real cluster multiplies local disks with executors,
+    # so the single shared spindle here is a sandbox artifact tmpfs removes).
+    workbase = os.environ.get("BENCH_WORKDIR")
+    if workbase:
+        os.makedirs(workbase, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="bench_replay_", dir=workbase)
     try:
         t0 = time.time()
         synthetic_binlog(
@@ -108,6 +114,11 @@ def main() -> None:
             "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
             "spark.io.compression.codec": args.codec,
             "spark.sql.parquet.compression.codec": args.codec,
+            **(
+                {"spark.local.dir": os.environ["BENCH_WORKDIR"]}
+                if os.environ.get("BENCH_WORKDIR")
+                else {}
+            ),
         },
     )
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0

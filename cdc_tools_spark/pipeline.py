@@ -24,6 +24,7 @@ Skew handling is explicit and two-layered:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -52,6 +53,13 @@ class ReplayConfig:
     # parity invariant becomes a stored column, so final-state verification
     # is a column compare instead of a recomputation.
     parity_column: bool = False
+    # §2.8 driver-level retry: transient epoch failures (lost executors past
+    # Spark's own task retries, storage blips) are retried with backoff;
+    # safe because merge is idempotent per epoch and the marker is written
+    # only after success. The reference wraps every DB/Kafka call the same
+    # way; Spark already covers task-level retries, this covers job-level.
+    max_retries: int = 2
+    retry_backoff_s: float = 1.0
 
 
 @dataclass
@@ -63,6 +71,21 @@ class ReplaySummary:
     redundant_events: int = 0
     table_version: int = 0
     commits: list[EpochCommit] = field(default_factory=list)
+
+
+def _with_retries(fn, attempts: int, backoff_s: float):
+    """Job-level retry with exponential backoff (idempotent callables only)."""
+    import time
+
+    last = None
+    for i in range(attempts + 1):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — deliberately broad: job-level guard
+            last = e
+            if i < attempts:
+                time.sleep(backoff_s * (2**i))
+    raise last
 
 
 def _payload_schema(df: DataFrame) -> T.StructType:
@@ -85,6 +108,7 @@ def replay(
     table: LakeTable | None = None,
     epoch_provider: Callable[[Epoch], DataFrame] | None = None,
     max_epochs: int | None = None,
+    table_name: str = "repo_files",
 ) -> ReplaySummary:
     """Replay an ordered change-event log into a lake table, exactly once.
 
@@ -97,7 +121,7 @@ def replay(
     the driver died; a re-run resumes from the commit log.
     """
     config = config or ReplayConfig()
-    commit_log = CommitLog(state_root, execution_id)
+    commit_log = CommitLog(state_root, execution_id, table_name)
 
     if table is None:
         table = ParquetMergeTable(spark, table_root, config.key_cols)
@@ -143,9 +167,13 @@ def replay(
         batch = provider(epoch)
         if config.parity_column and "content" in batch.columns:
             batch = batch.withColumn("content_sha256", F.sha2("content", 256))
-        result = table.merge(
-            batch, epoch.epoch_id, config.collect_metrics,
-            prune_buckets=config.bucket_pruning,
+        result = _with_retries(
+            lambda: table.merge(
+                batch, epoch.epoch_id, config.collect_metrics,
+                prune_buckets=config.bucket_pruning,
+            ),
+            config.max_retries,
+            config.retry_backoff_s,
         )
         # raw count observed on the merge job itself (no second pass)
         raw_count = max(0, result.raw_events)
@@ -206,3 +234,40 @@ def full_load(
         execution_id=execution_id,
         config=config,
     )
+
+
+def replay_tables(
+    spark: SparkSession,
+    log: DataFrame,
+    table_base: str,
+    state_root: str,
+    table_col: str = "table_name",
+    execution_id: str = "run-0",
+    config: ReplayConfig | None = None,
+) -> dict[str, ReplaySummary]:
+    """C4: multi-table replay — one changelog carrying a table-name column
+    fans out into per-table replays, each with its own lake table and
+    commit-log namespace (the Spark form of the reference's per-table
+    reader/writer pairs, CdcToRedshift/Program.cs:51-136; their thread-level
+    concurrency becomes partition parallelism inside each table's epochs).
+
+    The distinct-table scan is bounded (table count, not event count); per
+    key, ordering within its table is preserved exactly as in single-table
+    replay. Tables sharing ``state_root`` are isolated by the commit log's
+    ``table=`` directory keying — the reference's ChangeState PK
+    ``(ExecutionId, TableName)`` (ChangeState.sql:1-12)."""
+    tables = sorted(
+        r[0] for r in log.select(table_col).distinct().collect() if r[0] is not None
+    )
+    out: dict[str, ReplaySummary] = {}
+    for t in tables:
+        out[t] = replay(
+            spark,
+            log.where(F.col(table_col) == t).drop(table_col),
+            os.path.join(table_base, t),
+            state_root,
+            execution_id=execution_id,
+            config=config,
+            table_name=t,
+        )
+    return out

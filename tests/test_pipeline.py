@@ -254,3 +254,74 @@ def test_lake_table_on_file_uri_through_hadoop_fs(spark, tmp_path):
     # resume over the URI commit log is a full skip
     again = replay(spark, log, table, state, config=CFG)
     assert again.epochs_applied == 0 and again.epochs_skipped > 0
+
+
+def test_transient_merge_failure_is_retried(spark, tmp_path):
+    """E1 (§2.8): a transient merge failure is retried at the job level and
+    the replay completes exactly-once (merge idempotence makes the retry
+    safe even if the failure hit after the data write)."""
+    events, oracle = person_scenario()
+    log = spark.createDataFrame(events, schema=EVENT_SCHEMA)
+
+    class Flaky:
+        def __init__(self, inner):
+            self.inner, self.key_cols, self.fails = inner, inner.key_cols, 0
+
+        def exists(self):
+            return self.inner.exists()
+
+        def read(self):
+            return self.inner.read()
+
+        def merge(self, *a, **kw):
+            if self.fails < 2:  # fail the first two attempts
+                self.fails += 1
+                raise RuntimeError("transient storage blip")
+            return self.inner.merge(*a, **kw)
+
+    from cdc_tools_spark.lake.parquet_merge import ParquetMergeTable as PMT
+    from cdc_tools_spark.pipeline import _payload_schema
+
+    root = str(tmp_path / "t")
+    PMT.create(spark, root, _payload_schema(log), num_buckets=8)
+    flaky = Flaky(PMT(spark, root))
+    cfg = ReplayConfig(epoch_events=10**6, num_buckets=8, epoch_strategy="exact",
+                       max_retries=2, retry_backoff_s=0.01)
+    summary = replay(spark, log, root, str(tmp_path / "s"), config=cfg, table=flaky)
+    assert flaky.fails == 2 and summary.epochs_applied == 1
+    got = _final_state(spark, root)
+    assert set(got) == set(oracle)
+
+    # retries exhausted -> the error surfaces (no silent skip, no marker)
+    import pytest
+
+    flaky2 = Flaky(PMT(spark, root))
+    flaky2.fails = -10**9  # effectively always failing
+    with pytest.raises(RuntimeError, match="transient"):
+        replay(spark, log, root, str(tmp_path / "s2"), config=cfg, table=flaky2)
+    assert CommitLog(str(tmp_path / "s2"), "run-0").committed_epochs() == []
+
+
+def test_multi_table_replay(spark, tmp_path):
+    """C4: one changelog carrying table_name fans out into isolated
+    per-table lake tables + commit-log namespaces."""
+    from cdc_tools_spark.pipeline import replay_tables
+
+    events, oracle = person_scenario()
+    half = len(events) // 2
+    rows = [{**e, "table_name": "t_a"} for e in events] + [
+        {**e, "table_name": "t_b"} for e in events[:half]
+    ]
+    log = spark.createDataFrame(rows, schema=EVENT_SCHEMA + ", table_name string")
+    out = replay_tables(
+        spark, log, str(tmp_path / "tables"), str(tmp_path / "s"),
+        config=ReplayConfig(epoch_events=6, num_buckets=8, epoch_strategy="exact"),
+    )
+    assert set(out) == {"t_a", "t_b"}
+    got_a = _final_state(spark, str(tmp_path / "tables" / "t_a"))
+    assert set(got_a) == set(oracle)  # full replay matches the oracle
+    got_b = _final_state(spark, str(tmp_path / "tables" / "t_b"))
+    assert set(got_b) == set(pandas_replay(events[:half]))
+    # commit logs are namespaced per table under one execution id
+    assert CommitLog(str(tmp_path / "s"), "run-0", "t_a").committed_epochs()
+    assert CommitLog(str(tmp_path / "s"), "run-0", "t_b").committed_epochs()

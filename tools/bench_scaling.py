@@ -50,11 +50,16 @@ def _pinned(cores: int, args: list[str], extra_env: dict[str, str]) -> dict:
 
 
 def run_e2e(cores: int, events: int, content_chars: int, codec: str = "lz4") -> dict:
+    # Workdir + shuffle dirs on tmpfs: a real cluster multiplies local
+    # disks with executor count; this host has ONE shared spindle, which
+    # neither pinning level owns — tmpfs removes that sandbox artifact
+    # (memory bandwidth stays shared at both levels and is disclosed).
     return _pinned(
         cores,
         ["bench.py", "--replay-only", f"--cores={cores}", f"--events={events}",
          f"--codec={codec}"],
-        {"BENCH_CONTENT_CHARS": str(content_chars)},
+        {"BENCH_CONTENT_CHARS": str(content_chars),
+         "BENCH_WORKDIR": "/dev/shm/cdc_bench"},
     )
 
 
@@ -69,8 +74,10 @@ import pyspark.sql.functions as F
 spark = get_spark('scale-compute', master=f'local[{{cores}}]', shuffle_partitions=cores*2,
     extra_conf={{'spark.ui.showConsoleProgress':'false',
                  'spark.sql.files.maxPartitionBytes':'16m',
-                 'spark.sql.adaptive.advisoryPartitionSizeInBytes':'16m'}})
-work = tempfile.mkdtemp()
+                 'spark.sql.adaptive.advisoryPartitionSizeInBytes':'16m',
+                 'spark.local.dir':'/dev/shm/cdc_bench'}})
+import os as _os; _os.makedirs('/dev/shm/cdc_bench', exist_ok=True)
+work = tempfile.mkdtemp(dir='/dev/shm/cdc_bench')
 synthetic_binlog(spark, n, n_keys=n//20, hot_key_pct=20, n_hot_keys=5, n_repos=200,
                  content_chars=chars).write.parquet(f'{{work}}/log')
 log = spark.read.parquet(f'{{work}}/log')
@@ -157,6 +164,10 @@ def main() -> None:
         "whole-JVM CPU pinning (taskset), heap ∝ cores (2.5 GB/core), shuffle",
         f"partitions ∝ cores; input: {args.events:,} seeded synthetic change events,",
         f"{args.content_chars} B content (FIXTURES.md sizing), identical at both levels.",
+        "Work/shuffle dirs on tmpfs (/dev/shm): a real cluster multiplies local",
+        "disks with executor count, so this host's single shared spindle is a",
+        "sandbox artifact that tmpfs removes; shared DRAM bandwidth remains and",
+        "is covered by the tier analysis below.",
         f"Each tier = **median of {args.runs} full (N, 4N) session pairs** run in",
         "this session (not best-of); the spread column is min–max across sessions.",
         "",
