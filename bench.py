@@ -39,6 +39,7 @@ def run_replay(
     num_buckets: int = 128,
     parity: bool = True,
     content_chars: int = int(os.environ.get("BENCH_CONTENT_CHARS", "256")),
+    merge_mode: str = "cow",
 ) -> float:
     """Generate + store a binlog, replay it end-to-end; returns events/sec
     (replay only — the engine tails a stored log; lsn-ordered parquet row
@@ -69,11 +70,22 @@ def run_replay(
             epoch_events=max(n_events // epochs, 1), num_buckets=num_buckets,
             epoch_strategy="quantile", collect_metrics=False,
             total_events=n_events, bucket_pruning=False, parity_column=parity,
+            merge_mode=merge_mode,
         )
         t0 = time.time()
         summary = replay(
             spark, log, os.path.join(work, "t"), os.path.join(work, "s"), config=cfg
         )
+        if merge_mode == "mor":
+            # charge MOR's deferred work inside the timed window: one full
+            # read-side compaction pass over base ∪ deltas (conservative —
+            # a warehouse amortizes this across many reads / a compaction
+            # cadence, here it's paid once per replay).
+            from cdc_tools_spark.lake.parquet_merge import ParquetMergeTable
+
+            ParquetMergeTable(spark, os.path.join(work, "t")).read().write.format(
+                "noop"
+            ).mode("overwrite").save()
         dt = time.time() - t0
         if debug:
             print(
@@ -91,6 +103,11 @@ def main() -> None:
     parser.add_argument("--cores", type=int, default=CPUS)
     parser.add_argument("--events", type=int, default=N_EVENTS)
     parser.add_argument("--replay-only", action="store_true")
+    parser.add_argument(
+        "--mode", default="cow", choices=("cow", "mor"),
+        help="lake merge mode for the replay benchmark (mor timing includes "
+        "one full read-side compaction pass)",
+    )
     parser.add_argument(
         "--codec", default="lz4",
         help="shuffle/parquet compression: lz4 (throughput-optimized) or "
@@ -133,10 +150,19 @@ def main() -> None:
 
     # -- headline: end-to-end tail→merge on a synthetic binlog ------------
     def bench_replay() -> None:
-        run_replay(spark, 100_000, epochs=2)  # warm-up: JIT + codegen paths
-        extras["events_per_sec"] = run_replay(spark, args.events)
+        run_replay(spark, 100_000, epochs=2, merge_mode=args.mode)  # warm-up
+        extras["events_per_sec"] = run_replay(spark, args.events, merge_mode=args.mode)
 
     timed("cdc_replay_tail_merge", bench_replay)
+    if not args.replay_only and args.mode == "cow":
+        # MOR comparison point (timing includes one read-side compaction
+        # pass): the delta-append path whose write cost is O(batch).
+        timed(
+            "cdc_replay_tail_merge_mor",
+            lambda: extras.__setitem__(
+                "events_per_sec_mor", run_replay(spark, args.events, merge_mode="mor")
+            ),
+        )
 
     if args.replay_only:
         print(

@@ -122,6 +122,14 @@ def evolve_schema(current: T.StructType, incoming: T.StructType) -> tuple[T.Stru
     return T.StructType([fields[n] for n in order]), changed
 
 
+def _versions_of(v) -> list[int]:
+    """A bucket's data versions: COW stores an int (−1 = empty bucket),
+    MOR stores the ordered list [base, delta, delta, ...]."""
+    if isinstance(v, list):
+        return v
+    return [v] if v >= 0 else []
+
+
 def _align(df: DataFrame, schema: T.StructType) -> DataFrame:
     """Project ``df`` onto ``schema``: cast present columns, null the rest."""
     cols = []
@@ -194,6 +202,7 @@ class ParquetMergeTable(LakeTable):
         num_buckets: int = 64,
         order_cols: Sequence[str] | None = None,
         retained_snapshots: int = 16,
+        merge_mode: str = "cow",
     ) -> "ParquetMergeTable":
         """``order_cols`` (e.g. ``("lsn", "seqval")``) switches the table to
         **newer-wins merges**: those columns are stored per row and a merge
@@ -205,7 +214,22 @@ class ParquetMergeTable(LakeTable):
         (:func:`suggest_num_buckets`); :meth:`rescale` splits/merges buckets
         later without changing reader code. ``retained_snapshots`` is the
         time-travel retention window shared by the manifest cap and
-        :meth:`vacuum`."""
+        :meth:`vacuum`.
+
+        ``merge_mode``:
+
+        * ``"cow"`` (copy-on-write, default) — a merge rewrites each
+          touched bucket; reads are plain scans. Best for read-heavy
+          tables and small touched sets.
+        * ``"mor"`` (merge-on-read; requires ``order_cols``) — a merge
+          appends ONLY the compacted batch as a delta per touched bucket
+          (write cost O(batch), never O(table)); readers compact
+          base ∪ deltas by the order tuple at scan time;
+          :meth:`compact_table` folds deltas back into a base when a
+          bucket's chain grows past a threshold. This is the Iceberg
+          ``write.merge.mode=merge-on-read`` analog and the right mode for
+          high-frequency tails at 100 TB, where per-epoch COW rewrite
+          amplification is the dominant cost."""
         if order_cols:
             have = {f.name for f in schema.fields}
             fields = list(schema.fields) + [
@@ -218,6 +242,10 @@ class ParquetMergeTable(LakeTable):
             # replay watermark.
             fields.append(T.StructField("_tombstone", T.BooleanType(), False))
             schema = T.StructType(fields)
+        if merge_mode not in ("cow", "mor"):
+            raise ValueError(f"unknown merge_mode: {merge_mode!r}")
+        if merge_mode == "mor" and not order_cols:
+            raise ValueError("merge_mode='mor' requires order_cols (newer-wins)")
         t = cls(spark, root, key_cols)
         t._store(
             {
@@ -226,6 +254,7 @@ class ParquetMergeTable(LakeTable):
                 "num_buckets": num_buckets,
                 "key_cols": list(key_cols),
                 "retained_snapshots": retained_snapshots,
+                "merge_mode": merge_mode,
                 "order_cols": list(order_cols) if order_cols else None,
                 "schema": schema.json(),
                 "versions": {},
@@ -250,8 +279,47 @@ class ParquetMergeTable(LakeTable):
         else:
             want = {str(b) for b in buckets}
             items = [(b, v) for b, v in assigned.items() if b in want]
-        # v == -1 marks a bucket whose rows were all deleted (no files).
-        return [os.path.join(self.root, f"v{v}", f"bucket={b}") for b, v in items if v >= 0]
+        # COW: v is an int (-1 = all rows deleted, no files); MOR: v is the
+        # ordered [base, delta...] version list.
+        return [
+            os.path.join(self.root, f"v{x}", f"bucket={b}")
+            for b, v in items
+            for x in _versions_of(v)
+        ]
+
+    def _compact_stored(self, df: DataFrame, order_cols: Sequence[str]) -> DataFrame:
+        """Newer-wins over stored rows (MOR read-time compaction): one hash
+        aggregation by key over the order tuple — map-side partial agg, the
+        same plan shape as the merge itself. Duplicate rows from an
+        idempotently re-applied epoch tie on the full order tuple with
+        identical payloads, so the outcome is content-deterministic."""
+        payload = [c for c in df.columns if c not in self.key_cols]
+        ord_expr = F.struct(*[F.col(c) for c in order_cols])
+        agg = df.groupBy(*[F.col(c) for c in self.key_cols]).agg(
+            F.max_by(F.struct(*[F.col(c) for c in payload]), ord_expr).alias("_last")
+        )
+        return agg.select(
+            *[
+                F.col(f"_last.{c}").alias(c) if c in payload else F.col(c)
+                for c in df.columns
+            ]
+        )
+
+    def _current_rows(
+        self,
+        m: dict,
+        schema: T.StructType,
+        buckets: Sequence[int] | None = None,
+        dirs: list[str] | None = None,
+    ) -> DataFrame:
+        """Stored row set (tombstones included): COW rows are already unique
+        per key; MOR compacts base ∪ deltas here."""
+        df = self._read_dirs(
+            dirs if dirs is not None else self._leaf_dirs(m, buckets), schema
+        )
+        if m.get("merge_mode") == "mor":
+            df = self._compact_stored(df, tuple(m["order_cols"]))
+        return df
 
     def _read_dirs(self, dirs: list[str], schema: T.StructType) -> DataFrame:
         if not dirs:
@@ -263,9 +331,7 @@ class ParquetMergeTable(LakeTable):
 
     def read(self) -> DataFrame:
         m = self._load()
-        df = self._read_dirs(
-            self._leaf_dirs(m), T.StructType.fromJson(json.loads(m["schema"]))
-        )
+        df = self._current_rows(m, T.StructType.fromJson(json.loads(m["schema"])))
         if m.get("order_cols"):
             df = df.where(~F.col("_tombstone")).drop("_tombstone")
         return df
@@ -283,11 +349,14 @@ class ParquetMergeTable(LakeTable):
             )
         schema = T.StructType.fromJson(json.loads(m["versions"][str(version)]["schema"]))
         dirs = [
-            os.path.join(self.root, f"v{v}", f"bucket={b}")
+            os.path.join(self.root, f"v{x}", f"bucket={b}")
             for b, v in m["versions"][str(version)]["buckets"].items()
-            if v >= 0
+            for x in _versions_of(v)
         ]
-        return self._read_dirs(dirs, schema)
+        df = self._current_rows(m, schema, dirs=dirs)
+        if m.get("order_cols"):
+            df = df.where(~F.col("_tombstone")).drop("_tombstone")
+        return df
 
     # -- maintenance ---------------------------------------------------------
     def vacuum(self, keep_versions: int | None = None) -> list[int]:
@@ -306,10 +375,12 @@ class ParquetMergeTable(LakeTable):
         recent = set(
             sorted((int(v) for v in m["versions"]), reverse=True)[:keep_versions]
         )
-        live = {v for v in m["buckets"].values() if v >= 0}
+        live = {x for v in m["buckets"].values() for x in _versions_of(v)}
         for rv in recent:
             live |= {
-                v for v in m["versions"][str(rv)]["buckets"].values() if v >= 0
+                x
+                for v in m["versions"][str(rv)]["buckets"].values()
+                for x in _versions_of(v)
             }
         removed = []
         for name in fsio.listdir(self.root):
@@ -336,7 +407,7 @@ class ParquetMergeTable(LakeTable):
         if not m.get("order_cols"):
             return m["version"]
         schema = T.StructType.fromJson(json.loads(m["schema"]))
-        df = self._read_dirs(self._leaf_dirs(m), schema)
+        df = self._current_rows(m, schema)
         keep = df.where(~F.col("_tombstone") | (F.col("lsn") >= below_lsn))
         version = m["version"] + 1
         vdir = os.path.join(self.root, f"v{version}")
@@ -364,6 +435,154 @@ class ParquetMergeTable(LakeTable):
         self._store(m)
         return version
 
+    def _merge_mor(
+        self,
+        batch: DataFrame,
+        epoch_id: int,
+        collect_metrics: bool,
+        m: dict,
+        new_schema: T.StructType,
+        order_cols: tuple[str, ...],
+    ) -> MergeResult:
+        """Merge-on-read apply: compact the batch, append it as a delta per
+        touched bucket. Never reads current rows, never rewrites untouched
+        data — write cost is O(batch) regardless of table size (the COW
+        path's per-epoch rewrite amplification is what dies first at
+        100 TB). Idempotent replays may append a duplicate delta; read-time
+        compaction collapses it and :meth:`compact_table` GCs it."""
+        from pyspark.sql import Observation
+
+        from cdc_tools_spark.operators.compaction import compact_last_write_wins
+
+        obs_in = Observation(f"mor-in-{epoch_id}-{m['version']}")
+        obs = Observation(f"mor-{epoch_id}-{m['version']}")
+        if collect_metrics:
+            batch = batch.observe(obs_in, F.count(F.lit(1)).alias("raw"))
+        winners = compact_last_write_wins(batch, self.key_cols, order_cols)
+        have = set(batch.columns)
+        delta = winners.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in have
+                else (
+                    (F.col("change_type") == DELETE).alias(f.name)
+                    if f.name == "_tombstone"
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                )
+                for f in new_schema.fields
+            ]
+        )
+        if collect_metrics:
+            delta = delta.observe(
+                obs,
+                F.sum(F.when(F.col("_tombstone"), 1).otherwise(0)).alias("dels"),
+                F.count(F.lit(1)).alias("n"),
+            )
+
+        version = m["version"] + 1
+        vdir = os.path.join(self.root, f"v{version}")
+        (
+            delta.withColumn("bucket", self._bucket_expr(m["num_buckets"]))
+            .repartition(F.col("bucket"))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(vdir)
+        )
+        written = {
+            int(d.split("=", 1)[1])
+            for d in fsio.listdir(vdir)
+            if d.startswith("bucket=")
+        }
+        if not written:
+            return MergeResult(epoch_id, 0, 0, 0, m["version"], {}, 0)
+
+        if collect_metrics:
+            n_deletes = int(obs.get["dels"] or 0)
+            n_upserts = int(obs.get["n"] or 0) - n_deletes
+            raw_events = int(obs_in.get["raw"] or 0)
+        else:
+            n_deletes = n_upserts = 0
+            raw_events = -1
+
+        lineage: dict[int, int] = {}
+        if collect_metrics:
+            with_bucket = T.StructType(
+                list(new_schema.fields) + [T.StructField("bucket", T.IntegerType(), True)]
+            )
+            lineage = {
+                int(r["bucket"]): int(r["cnt"])
+                for r in self.spark.read.schema(with_bucket)
+                .parquet(vdir)
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            }
+
+        new_buckets = dict(m["buckets"])
+        for b in written:
+            new_buckets[str(b)] = _versions_of(new_buckets.get(str(b), -1)) + [version]
+        m["version"] = version
+        m["schema"] = new_schema.json()
+        m["buckets"] = new_buckets
+        m["versions"][str(version)] = {
+            "schema": new_schema.json(),
+            "buckets": dict(new_buckets),
+            "epoch_id": epoch_id,
+        }
+        retain = sorted((int(v) for v in m["versions"]), reverse=True)[
+            : m.get("retained_snapshots", 16)
+        ]
+        m["versions"] = {str(v): m["versions"][str(v)] for v in retain}
+        self._store(m)
+        return MergeResult(
+            epoch_id, n_upserts, n_deletes, len(written), version, lineage, raw_events
+        )
+
+    def compact_table(self, max_deltas: int = 8, epoch_id: int = -1) -> int:
+        """MOR maintenance: fold any bucket whose delta chain exceeds
+        ``max_deltas`` back into a single base file set (one job for all
+        such buckets). The read-amplification governor: delta chains are
+        bounded by compaction cadence, never by replay length. Returns the
+        new version (or the current one if nothing to compact)."""
+        m = self._load()
+        if m.get("merge_mode") != "mor":
+            return m["version"]
+        over = [
+            int(b)
+            for b, v in m["buckets"].items()
+            if len(_versions_of(v)) > max_deltas
+        ]
+        if not over:
+            return m["version"]
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        df = self._current_rows(m, schema, buckets=over)
+        version = m["version"] + 1
+        vdir = os.path.join(self.root, f"v{version}")
+        (
+            df.withColumn("bucket", self._bucket_expr(m["num_buckets"]))
+            .repartition(F.col("bucket"))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(vdir)
+        )
+        written = {
+            int(d.split("=", 1)[1])
+            for d in fsio.listdir(vdir)
+            if d.startswith("bucket=")
+        }
+        new_buckets = dict(m["buckets"])
+        for b in over:
+            new_buckets[str(b)] = [version] if b in written else []
+        m["version"] = version
+        m["buckets"] = new_buckets
+        m["versions"][str(version)] = {
+            "schema": m["schema"],
+            "buckets": dict(new_buckets),
+            "epoch_id": epoch_id,
+        }
+        self._store(m)
+        return version
+
     def rescale(self, new_num_buckets: int, epoch_id: int = -1) -> int:
         """Bucket split/scale: rewrite the table under ``new_num_buckets``
         (one shuffle + write; readers are unaffected because bucket routing
@@ -375,7 +594,7 @@ class ParquetMergeTable(LakeTable):
         bucket partition spec; spec evolution there avoids the rewrite.)"""
         m = self._load()
         schema = T.StructType.fromJson(json.loads(m["schema"]))
-        df = self._read_dirs(self._leaf_dirs(m), schema)
+        df = self._current_rows(m, schema)
         version = m["version"] + 1
         vdir = os.path.join(self.root, f"v{version}")
         (
@@ -445,6 +664,11 @@ class ParquetMergeTable(LakeTable):
         ]
         incoming = T.StructType(payload_fields)
         new_schema, _ = evolve_schema(current_schema, incoming)
+
+        if m.get("merge_mode") == "mor":
+            return self._merge_mor(
+                batch, epoch_id, collect_metrics, m, new_schema, order_cols
+            )
 
         # Touched buckets from a column-pruned pass over just the key
         # columns (parquet reads only repo/path — no payload I/O). This is

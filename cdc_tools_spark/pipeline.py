@@ -49,6 +49,10 @@ class ReplayConfig:
     collect_metrics: bool = True
     total_events: int | None = None  # skip the planner's count pass if known
     bucket_pruning: bool = True  # disable when every batch touches ~all buckets
+    # "cow" rewrites touched buckets per merge; "mor" appends compacted
+    # deltas (ordered newer-wins table) — O(batch) writes, read-time
+    # compaction, ParquetMergeTable.compact_table as the governor.
+    merge_mode: str = "cow"
     # Derive and store sha256(content) at ingest — the BASELINE.json per-row
     # parity invariant becomes a stored column, so final-state verification
     # is a column compare instead of a recomputation.
@@ -127,7 +131,10 @@ def replay(
         table = ParquetMergeTable(spark, table_root, config.key_cols)
         if not table.exists():
             ParquetMergeTable.create(
-                spark, table_root, _payload_schema(log), config.key_cols, config.num_buckets
+                spark, table_root, _payload_schema(log), config.key_cols,
+                config.num_buckets,
+                order_cols=("lsn", "seqval") if config.merge_mode == "mor" else None,
+                merge_mode=config.merge_mode,
             )
 
     summary = ReplaySummary()

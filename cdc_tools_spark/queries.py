@@ -143,6 +143,28 @@ def q_cdc_out_of_order_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select("repo", "path", "commit", "lang", "content")
 
 
+def q_cdc_mor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read mode, worst case: epochs applied in REVERSED order
+    into a MOR table (delta appends + read-time newer-wins compaction +
+    a mid-replay compact_table fold) must still equal the in-order
+    last-write-wins state — the Iceberg write.merge.mode=merge-on-read
+    analog whose write cost is O(batch), never O(table)."""
+    log = changelog_from_events(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="cdc_mor_")
+    from cdc_tools_spark.lake.parquet_merge import ParquetMergeTable as PMT
+    from cdc_tools_spark.pipeline import _payload_schema
+
+    PMT.create(spark, os.path.join(work, "t"), _payload_schema(log), num_buckets=16,
+               order_cols=("lsn", "seqval"), merge_mode="mor")
+    table = PMT(spark, os.path.join(work, "t"))
+    epochs = list(reversed(plan_epochs(log, 2_000)))
+    for i, epoch in enumerate(epochs):
+        table.merge(log.where(epoch.predicate()), epoch.epoch_id, collect_metrics=False)
+        if i == len(epochs) // 2:
+            table.compact_table(max_deltas=2)  # governor folds mid-replay
+    return table.read().select("repo", "path", "commit", "lang", "content")
+
+
 def q_cdc_upsert_delete_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K2/K3: per-repo split of the compacted batch into upsert and delete
     sets (the reference's two staging documents)."""
@@ -322,6 +344,10 @@ SELECT repo, path, "commit", lang, content
 FROM ranked2 WHERE rn = 1 AND change_type <> 1
 """,
     "cdc_out_of_order_replay": _COMPACTED_CTE
+    + """
+SELECT repo, path, "commit", lang, content FROM compacted WHERE change_type <> 1
+""",
+    "cdc_mor_replay": _COMPACTED_CTE
     + """
 SELECT repo, path, "commit", lang, content FROM compacted WHERE change_type <> 1
 """,
@@ -532,6 +558,7 @@ def queries() -> dict[str, QueryFn]:
         "cdc_replay_final_state": q_cdc_replay_final_state,
         "cdc_full_load_then_tail": q_cdc_full_load_then_tail,
         "cdc_out_of_order_replay": q_cdc_out_of_order_replay,
+        "cdc_mor_replay": q_cdc_mor_replay,
         "cdc_upsert_delete_split": q_cdc_upsert_delete_split,
         "cdc_transactions": q_cdc_transactions,
         "cdc_watermarks": q_cdc_watermarks,
