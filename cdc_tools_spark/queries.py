@@ -165,6 +165,35 @@ def q_cdc_mor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select("repo", "path", "commit", "lang", "content")
 
 
+def q_cdc_multi_table_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: one changelog carrying a table-name column fans out into
+    per-table lake tables + commit-log namespaces (replay_tables); result =
+    union of both final states tagged by table. Oracle: LWW per
+    (table, key) over the same split."""
+    from cdc_tools_spark.pipeline import replay_tables
+
+    # engine-portable split: parity of the numeric path suffix ('path_<n>')
+    log = changelog_from_events(spark, sf_dir).withColumn(
+        "table_name",
+        F.when(
+            F.substring("path", 6, 20).cast("int") % 2 == 0, F.lit("t_even")
+        ).otherwise(F.lit("t_odd")),
+    )
+    work = tempfile.mkdtemp(prefix="cdc_multi_")
+    cfg = ReplayConfig(epoch_events=4_000, num_buckets=8, collect_metrics=False)
+    replay_tables(spark, log, os.path.join(work, "tables"), os.path.join(work, "s"),
+                  config=cfg)
+    outs = []
+    for t in ("t_even", "t_odd"):
+        outs.append(
+            ParquetMergeTable(spark, os.path.join(work, "tables", t))
+            .read()
+            .select(F.lit(t).alias("table_name"), "repo", "path", "commit",
+                    "lang", "content")
+        )
+    return outs[0].unionByName(outs[1])
+
+
 def q_cdc_upsert_delete_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K2/K3: per-repo split of the compacted batch into upsert and delete
     sets (the reference's two staging documents)."""
@@ -350,6 +379,13 @@ SELECT repo, path, "commit", lang, content FROM compacted WHERE change_type <> 1
     "cdc_mor_replay": _COMPACTED_CTE
     + """
 SELECT repo, path, "commit", lang, content FROM compacted WHERE change_type <> 1
+""",
+    "cdc_multi_table_replay": _COMPACTED_CTE
+    + """
+SELECT CASE WHEN CAST(substr(path, 6) AS INT) % 2 = 0 THEN 't_even'
+            ELSE 't_odd' END AS table_name,
+       repo, path, "commit", lang, content
+FROM compacted WHERE change_type <> 1
 """,
     "cdc_upsert_delete_split": _COMPACTED_CTE
     + """
@@ -559,6 +595,7 @@ def queries() -> dict[str, QueryFn]:
         "cdc_full_load_then_tail": q_cdc_full_load_then_tail,
         "cdc_out_of_order_replay": q_cdc_out_of_order_replay,
         "cdc_mor_replay": q_cdc_mor_replay,
+        "cdc_multi_table_replay": q_cdc_multi_table_replay,
         "cdc_upsert_delete_split": q_cdc_upsert_delete_split,
         "cdc_transactions": q_cdc_transactions,
         "cdc_watermarks": q_cdc_watermarks,

@@ -17,7 +17,11 @@ value, and the decode/merge plan are identical.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from cdc_tools_spark.bus import FileTopic, serialize_changelog
 from cdc_tools_spark.functions.avro_schema import (

@@ -1,0 +1,69 @@
+"""Property-based correctness: random changelogs through the full engine
+(both merge modes, shuffled epoch order for MOR) must always match the
+independent pandas replay oracle. Hypothesis drives the event generator;
+examples are few (Spark jobs are slow) but each exercises arbitrary
+interleavings of insert/update/delete/update-before across keys."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cdc_tools_spark.lake.parquet_merge import ParquetMergeTable
+from cdc_tools_spark.pipeline import ReplayConfig, replay
+from tests.conftest import EVENT_SCHEMA, pandas_replay
+
+# one event: (key_id, change_type, content_token)
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),        # 8 keys -> collisions
+        st.sampled_from([1, 2, 3, 4]),                # DELETE/INSERT/UB/UA
+        st.integers(min_value=0, max_value=999),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _to_rows(raw):
+    rows = []
+    for i, (kid, ct, tok) in enumerate(raw):
+        rows.append(
+            {
+                "lsn": i // 3,  # ~3 events per transaction
+                "seqval": i % 3,
+                "change_type": ct,
+                "repo": f"r{kid % 3}",
+                "path": f"p{kid}",
+                "commit": f"c{i}",
+                "lang": "py",
+                "content": None if ct == 1 else f"v{tok}",
+            }
+        )
+    return rows
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(raw=_events)
+def test_replay_matches_pandas_oracle_for_random_logs(spark, tmp_path_factory, raw):
+    rows = _to_rows(raw)
+    oracle = pandas_replay(rows)
+    log = spark.createDataFrame(rows, schema=EVENT_SCHEMA)
+
+    for mode in ("cow", "mor"):
+        work = tmp_path_factory.mktemp(f"prop_{mode}")
+        cfg = ReplayConfig(
+            epoch_events=7, num_buckets=4, epoch_strategy="exact", merge_mode=mode,
+            collect_metrics=False,
+        )
+        replay(spark, log, str(work / "t"), str(work / "s"), config=cfg)
+        got = {
+            (r["repo"], r["path"]): r["content"]
+            for r in ParquetMergeTable(spark, str(work / "t")).read().collect()
+        }
+        want = {k: v["content"] for k, v in oracle.items()}
+        assert got == want, f"mode={mode}"
