@@ -39,6 +39,9 @@ class StreamConfig:
     num_buckets: int = 64
     max_files_per_trigger: int = 8
     processing_time: str = "0 seconds"  # as-fast-as-possible micro-batches
+    # "mor" appends O(batch) deltas per micro-batch (high-frequency tails);
+    # pair with ParquetMergeTable.compact_table on a maintenance cadence.
+    merge_mode: str = "cow"
 
 
 def stream_tail(
@@ -68,6 +71,7 @@ def stream_tail(
             config.key_cols,
             config.num_buckets,
             order_cols=("lsn", "seqval"),
+            merge_mode=config.merge_mode,
         )
 
     stream = (
@@ -142,7 +146,7 @@ def stream_tail_topic(
     if not table.exists():
         ParquetMergeTable.create(
             spark, table_root, payload, config.key_cols, config.num_buckets,
-            order_cols=("lsn", "seqval"),
+            order_cols=("lsn", "seqval"), merge_mode=config.merge_mode,
         )
 
     stream = (

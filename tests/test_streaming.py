@@ -114,3 +114,37 @@ def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
     table = ParquetMergeTable(spark, str(tmp_path / "table"))
     got = {(r["repo"], r["path"]): r["content"] for r in table.read().collect()}
     assert got == {k: v["content"] for k, v in oracle.items()}
+
+
+def test_stream_tail_mor_converges_and_compacts(spark, tmp_path):
+    """Streaming tail in merge-on-read mode: O(batch) delta appends per
+    micro-batch converge to the oracle; compact_table folds the chains."""
+    events, oracle = person_scenario()
+    log_dir = str(tmp_path / "log")
+    thirds = [events[i::3] for i in range(3)]
+    _write_segment(spark, thirds[0], log_dir)
+
+    query = stream_tail(
+        spark, log_dir, str(tmp_path / "table"), str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+        config=StreamConfig(num_buckets=8, max_files_per_trigger=1,
+                            merge_mode="mor"),
+    )
+    try:
+        query.processAllAvailable()
+        _write_segment(spark, thirds[1], log_dir)
+        query.processAllAvailable()
+        _write_segment(spark, thirds[2], log_dir)
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+    table = ParquetMergeTable(spark, str(tmp_path / "table"))
+    want = {k: v["content"] for k, v in oracle.items()}
+
+    def state():
+        return {(r["repo"], r["path"]): r["content"] for r in table.read().collect()}
+
+    assert state() == want
+    table.compact_table(max_deltas=1)  # fold every delta chain
+    assert state() == want  # reads unchanged after the fold
