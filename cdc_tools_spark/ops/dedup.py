@@ -97,6 +97,31 @@ def ngram_jaccard_pairs(
     )
 
 
+def minhash_signatures_wide(
+    df: DataFrame,
+    num_hashes: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, mh_0 … mh_{k−1}) — all k minhashes in ONE hash aggregation.
+
+    Instead of exploding every (doc, shingle) row k× and shuffling the
+    seeded rows (the textbook formulation), each input row evaluates the k
+    salted md5s in place and a single ``groupBy(doc)`` takes k column-wise
+    ``min``s — map-side partial aggregation collapses to one row per doc
+    per partition, so shuffle volume is |docs| × partitions rows of k
+    columns. One shuffle for the whole signature matrix."""
+    sh = word_shingles(df, n, text_col, id_col)
+    mins = [
+        F.min(
+            F.md5(F.concat(F.lit(str(s)), F.lit(":"), F.col("shingle")))
+        ).alias(f"mh_{s}")
+        for s in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 32,
@@ -104,17 +129,14 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(id, seed, minhash) — minhash = min md5 over salted shingles."""
-    sh = word_shingles(df, n, text_col, id_col)
-    seeded = sh.select(
+    """(id, seed, minhash) — narrow form of :func:`minhash_signatures_wide`
+    (same values; the wide form is the compute path)."""
+    wide = minhash_signatures_wide(df, num_hashes, n, text_col, id_col)
+    return wide.select(
         F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
-        F.col("shingle"),
-    )
-    return seeded.groupBy(id_col, "seed").agg(
-        F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))).alias(
-            "minhash"
-        )
+        F.posexplode(F.array(*[F.col(f"mh_{s}") for s in range(num_hashes)])).alias(
+            "seed", "minhash"
+        ),
     )
 
 
@@ -128,24 +150,29 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Distinct candidate near-dup pairs: docs sharing ≥1 LSH band key.
 
-    This is the discovery path that scales: band keys shuffle once
-    (|docs| × bands rows), the self-join runs per band-key bucket, and no
-    all-pairs comparison ever happens."""
-    sig = minhash_signatures(df, num_hashes, n, text_col, id_col)
-    bands = (
-        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                        lambda s: s["minhash"],
-                    ),
-                )
-            ).alias("band_key")
+    This is the discovery path that scales: the signature matrix comes out
+    of :func:`minhash_signatures_wide`'s single aggregation, band keys are
+    a pure projection over its columns (posexplode to |docs| × bands
+    rows), the self-join runs per band-key bucket, and no all-pairs
+    comparison ever happens. Total: one shuffle for signatures + the
+    band-key equi-join."""
+    sig = minhash_signatures_wide(df, num_hashes, n, text_col, id_col)
+    n_bands = num_hashes // rows_per_band
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"mh_{s}")
+                    for s in range(b * rows_per_band, (b + 1) * rows_per_band)
+                ],
+            )
         )
+        for b in range(n_bands)
+    ]
+    bands = sig.select(
+        F.col(id_col),
+        F.posexplode(F.array(*band_keys)).alias("band", "band_key"),
     )
     a = bands.alias("a")
     b = bands.alias("b")

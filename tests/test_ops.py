@@ -160,3 +160,15 @@ def test_simhash_plan_has_no_shuffle(spark, docs):
     """SimHash is a pure projection: no Exchange (shuffle) in the plan."""
     plan = simhash(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_minhash_wide_single_shuffle(spark, docs):
+    """The whole 32-hash signature matrix comes out of ONE aggregation:
+    exactly one Exchange in the plan (no seeded row explosion)."""
+    from cdc_tools_spark.ops.dedup import minhash_signatures_wide
+
+    plan = (
+        minhash_signatures_wide(docs, num_hashes=32)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
