@@ -189,6 +189,11 @@ def main() -> None:
         "top_customer_revenue",
         "nation_order_volume",
         "events_hourly",
+        # training-data ops over the sf documents corpus
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "text_quality",
     ):
         fn = q.queries()[name]
         timed(name, lambda fn=fn: fn(spark, SF_DIR).write.format("noop").mode("overwrite").save())

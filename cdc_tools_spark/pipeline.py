@@ -53,6 +53,10 @@ class ReplayConfig:
     # deltas (ordered newer-wins table) — O(batch) writes, read-time
     # compaction, ParquetMergeTable.compact_table as the governor.
     merge_mode: str = "cow"
+    # MOR governor cadence: after each epoch, fold any bucket whose delta
+    # chain exceeds this (manifest-only check when nothing is over — no
+    # Spark job). None disables; ignored for COW.
+    mor_max_deltas: int | None = 16
     # Derive and store sha256(content) at ingest — the BASELINE.json per-row
     # parity invariant becomes a stored column, so final-state verification
     # is a column compare instead of a recomputation.
@@ -197,6 +201,12 @@ def replay(
             partition_lineage={str(k): v for k, v in result.partition_lineage.items()},
         )
         commit_log.commit(rec)
+        if (
+            config.merge_mode == "mor"
+            and config.mor_max_deltas is not None
+            and hasattr(table, "compact_table")
+        ):
+            table.compact_table(max_deltas=config.mor_max_deltas)
         summary.commits.append(rec)
         summary.epochs_applied += 1
         summary.upserts += result.upserts
