@@ -122,6 +122,19 @@ def evolve_schema(current: T.StructType, incoming: T.StructType) -> tuple[T.Stru
     return T.StructType([fields[n] for n in order]), changed
 
 
+def _obs_get(obs, df: DataFrame, exprs: list) -> dict:
+    """Observation metrics with a defensive fallback: when Catalyst folds
+    an all-LocalRelation plan (tiny batches in tests), the CollectMetrics
+    node can be optimized away and ``Observation.get`` fails — recompute
+    the same aggregates directly then (the plan is local, the extra pass
+    costs nothing; on real file-backed inputs the observation always
+    survives)."""
+    try:
+        return dict(obs.get)
+    except Exception:
+        return df.agg(*exprs).collect()[0].asDict()
+
+
 def _versions_of(v) -> list[int]:
     """A bucket's data versions: COW stores an int (−1 = empty bucket),
     MOR stores the ordered list [base, delta, delta, ...]."""
@@ -497,9 +510,19 @@ class ParquetMergeTable(LakeTable):
             return MergeResult(epoch_id, 0, 0, 0, m["version"], {}, 0)
 
         if collect_metrics:
-            n_deletes = int(obs.get["dels"] or 0)
-            n_upserts = int(obs.get["n"] or 0) - n_deletes
-            raw_events = int(obs_in.get["raw"] or 0)
+            stats = _obs_get(
+                obs,
+                delta,
+                [
+                    F.sum(F.when(F.col("_tombstone"), 1).otherwise(0)).alias("dels"),
+                    F.count(F.lit(1)).alias("n"),
+                ],
+            )
+            n_deletes = int(stats["dels"] or 0)
+            n_upserts = int(stats["n"] or 0) - n_deletes
+            raw_events = int(
+                _obs_get(obs_in, batch, [F.count(F.lit(1)).alias("raw")])["raw"] or 0
+            )
         else:
             n_deletes = n_upserts = 0
             raw_events = -1
@@ -744,14 +767,19 @@ class ParquetMergeTable(LakeTable):
         )
 
         obs = Observation(f"merge-{epoch_id}-{m['version']}")
-        winners = winners.observe(
-            obs,
-            F.sum(
-                F.when((F.col("change_type") == DELETE) & (F.col("_src") == 1), 1).otherwise(0)
-            ).alias("dels"),
-            F.sum(F.col("_src")).alias("from_batch"),
-            F.count(F.lit(1)).alias("n"),
-        )
+
+        def _merge_metric_exprs():
+            return [
+                F.sum(
+                    F.when(
+                        (F.col("change_type") == DELETE) & (F.col("_src") == 1), 1
+                    ).otherwise(0)
+                ).alias("dels"),
+                F.sum(F.col("_src")).alias("from_batch"),
+                F.count(F.lit(1)).alias("n"),
+            ]
+
+        winners = winners.observe(obs, *_merge_metric_exprs())
         if persist_order:
             merged = winners.drop("change_type", "_src")  # tombstones persist
         else:
@@ -770,12 +798,21 @@ class ParquetMergeTable(LakeTable):
             .partitionBy("bucket")
             .parquet(vdir)
         )
-        stats = obs.get
+        stats = _obs_get(obs, winners, _merge_metric_exprs())
         n_deletes = int(stats["dels"] or 0)
         # upserts applied = winners that came from this batch and are not
         # deletes (current rows that survived are not "applied" events)
         n_upserts = max(0, int(stats["from_batch"] or 0) - n_deletes)
-        raw_events = int(obs_in.get["raw_batch"] or 0) if collect_metrics else -1
+        raw_events = (
+            int(
+                _obs_get(
+                    obs_in, combined, [F.sum(F.col("_src")).alias("raw_batch")]
+                )["raw_batch"]
+                or 0
+            )
+            if collect_metrics
+            else -1
+        )
 
         lineage: dict[int, int] = {}
         if collect_metrics and fsio.exists(vdir):

@@ -230,3 +230,19 @@ def test_typed_payload_merge_and_decimal_column_added_mid_replay(spark, tmp_path
     got = {(r["repo"], r["path"]): r for r in table.read().collect()}
     assert got[("r", "b")]["amount"] == decimal.Decimal("12.34")  # old rows upcast
     assert got[("r", "c")]["amount"] == decimal.Decimal("9876543210.99")
+
+
+def test_delete_only_first_batch(spark, tmp_path):
+    """Regression (found by hypothesis): a first batch containing only
+    DELETEs of nonexistent keys collapses to an all-LocalRelation plan
+    where Catalyst can optimize the CollectMetrics node away — metrics
+    must fall back gracefully, table stays empty, replay is idempotent."""
+    root = str(tmp_path / "t")
+    table = ParquetMergeTable.create(spark, root, PAYLOAD, num_buckets=4)
+    batch = _batch(spark, [_row(0, 1, "r", "ghost", None),
+                           _row(0, 1, "r", "ghost", None)])
+    r = table.merge(batch, 0, collect_metrics=True)
+    assert r.deletes == 1 and r.upserts == 0 and r.raw_events == 2
+    assert table.read().count() == 0
+    r2 = table.merge(batch, 0, collect_metrics=False)  # idempotent replay
+    assert table.read().count() == 0 and r2.raw_events == -1
