@@ -67,3 +67,46 @@ def test_replay_matches_pandas_oracle_for_random_logs(spark, tmp_path_factory, r
         }
         want = {k: v["content"] for k, v in oracle.items()}
         assert got == want, f"mode={mode}"
+
+
+# -- schema-evolution laws (pure Python, no Spark jobs) ----------------------
+
+from pyspark.sql import types as T  # noqa: E402
+
+from cdc_tools_spark.lake.parquet_merge import evolve_schema  # noqa: E402
+
+_types = st.sampled_from(
+    [
+        T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType(),
+        T.FloatType(), T.DoubleType(),
+        T.DecimalType(10, 2), T.DecimalType(14, 4), T.DecimalType(9, 0),
+    ]
+)
+_schemas = st.dictionaries(
+    st.sampled_from(["a", "b", "c", "d"]), _types, min_size=1, max_size=4
+).map(
+    lambda d: T.StructType([T.StructField(k, v, True) for k, v in sorted(d.items())])
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(cur=_schemas, inc=_schemas)
+def test_evolve_schema_laws(cur, inc):
+    """Evolution never narrows, is idempotent, and keeps every column."""
+    try:
+        out, changed = evolve_schema(cur, inc)
+    except ValueError:
+        return  # unsupported promotion (e.g. decimal vs double) — explicit
+    names = {f.name for f in out.fields}
+    assert names == {f.name for f in cur.fields} | {f.name for f in inc.fields}
+    # idempotent: evolving again with the same incoming changes nothing
+    out2, changed2 = evolve_schema(out, inc)
+    assert out2 == out and not changed2
+    # absorbing: current columns are never narrowed
+    for f in cur.fields:
+        g = out[f.name].dataType
+        again, ch = evolve_schema(
+            T.StructType([T.StructField(f.name, g, True)]),
+            T.StructType([T.StructField(f.name, f.dataType, True)]),
+        )
+        assert not ch, f"{f.dataType} -> {g} then back reports widening"
