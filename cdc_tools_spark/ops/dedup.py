@@ -184,6 +184,64 @@ def minhash_lsh_candidates(
     )
 
 
+def neardup_pairs(
+    df: DataFrame,
+    num_hashes: int = 32,
+    rows_per_band: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The composed near-dup pipeline: **LSH discovery → exact Jaccard
+    verify on candidates only** — the registered 100-TB shape (the
+    all-pairs-per-shared-shingle formulation in
+    :func:`ngram_jaccard_pairs` exists for verification/tests).
+
+    Work is bounded by the candidate set: the shingle intersection join
+    runs per candidate pair, never across the corpus."""
+    cand = minhash_lsh_candidates(df, num_hashes, rows_per_band, n, text_col, id_col)
+    sh = word_shingles(df, n, text_col, id_col)
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def keep_list(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, kept) — the dedup decision: for each verified near-dup
+    pair (doc_a < doc_b), drop the higher id; everything else is kept.
+    Left-anti join against the drop set — no row of the corpus is ever
+    compared to another here."""
+    drops = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return df.select(id_col).join(drops.withColumn("_drop", F.lit(True)), id_col, "left").select(
+        F.col(id_col), F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept")
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over distinct whitespace tokens, as a 64-char
     bitstring (MSB-first over md5 hex nibbles).

@@ -59,6 +59,18 @@ def q_dedup_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir))
 
 
+def q_dedup_neardup_pipeline(spark, sf_dir):
+    """LSH discovery → candidate-bounded Jaccard verify (the scale path)."""
+    return D.neardup_pairs(_docs(spark, sf_dir), num_hashes=32, rows_per_band=4,
+                           threshold=0.5)
+
+
+def q_dedup_keep_list(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    pairs = D.neardup_pairs(docs, num_hashes=32, rows_per_band=4, threshold=0.5)
+    return D.keep_list(docs, pairs)
+
+
 # -- similarity -------------------------------------------------------------
 
 
@@ -162,6 +174,39 @@ cand AS (
 )
 
 
+# LSH candidates (same sigs/bands as the dedup_minhash_lsh oracle) +
+# candidate-bounded Jaccard verify — the neardup_pairs pipeline in SQL.
+_NEARDUP_CTE = """,
+sigs AS (
+  SELECT doc_id, seed, min(md5(CAST(seed AS STRING) || ':' || shingle)) AS minhash
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS seed) s
+  GROUP BY doc_id, seed),
+bands AS (
+  SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
+         md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+  FROM sigs GROUP BY doc_id, CAST(floor(seed / 4) AS INT)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+    AND a.doc_id < b.doc_id),
+counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2),
+verified AS (
+  SELECT doc_a, doc_b,
+    round(CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common), 6) AS jaccard
+  FROM inter
+  JOIN counts ca ON ca.doc_id = doc_a
+  JOIN counts cb ON cb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= 0.5)
+"""
+
+
 def _lang_score_sql(lang: str) -> str:
     markers = "[" + ", ".join(f"'{w}'" for w in X.LANG_MARKERS[lang]) + "]"
     return (
@@ -245,6 +290,15 @@ bands AS (
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a
 JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+""",
+    "dedup_neardup_pipeline": _SHINGLE_CTE + _NEARDUP_CTE
+    + "SELECT doc_a, doc_b, jaccard FROM verified",
+    "dedup_keep_list": _SHINGLE_CTE + _NEARDUP_CTE
+    + """
+SELECT d.doc_id, (dr.doc_id IS NULL) AS kept
+FROM documents d
+LEFT JOIN (SELECT DISTINCT doc_b AS doc_id FROM verified) dr
+  ON dr.doc_id = d.doc_id
 """,
     "dedup_simhash": r"""
 WITH tok_d AS (
@@ -332,6 +386,8 @@ def queries():
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_neardup_pipeline": q_dedup_neardup_pipeline,
+        "dedup_keep_list": q_dedup_keep_list,
         "dedup_simhash": q_dedup_simhash,
         "embed_neardup_cosine": q_embed_neardup_cosine,
         "embed_lsh_buckets": q_embed_lsh_buckets,
