@@ -19,11 +19,15 @@ format.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 
 from pyspark.sql import SparkSession
 
-from cdc_tools_spark.lake.iceberg import IcebergTable
-from cdc_tools_spark.pipeline import ReplayConfig, replay
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cdc_tools_spark.lake.iceberg import IcebergTable  # noqa: E402
+from cdc_tools_spark.pipeline import ReplayConfig, replay  # noqa: E402
 
 
 def main() -> None:
