@@ -224,6 +224,90 @@ def topk_cosine_lsh(
     )
 
 
+def ivf_assignments(
+    df: DataFrame,
+    n_lists: int = 16,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, probe_rank, list_id) — IVF coarse quantization: each vector's
+    ``n_probe`` nearest centroid lists by cosine.
+
+    Centroids are the vectors with the ``n_lists`` smallest ids — a
+    deterministic stand-in for offline k-means output (production feeds
+    trained centroids in exactly this shape). The centroid set is bounded
+    and tiny, so it ships as **literal arrays inside the projection** —
+    assignment is O(n·K) inside codegen with no join of any kind (the
+    broadcast-nested-loop a naive crossJoin would cost is avoided
+    entirely). Ties break toward the lower list id."""
+    centroids = sorted(
+        (r[0], [float(x) for x in r[1]])
+        for r in df.select(id_col, vec_col).where(F.col(id_col) < n_lists).collect()
+    )
+    vd = _as_double(F.col(vec_col))
+    # array_sort on structs sorts ascending by (cos, neg_id); reversing gives
+    # cos DESC with ties toward the LOWER list id (negated id trick).
+    scored_tie = F.array(
+        *[
+            F.struct(
+                F.round(cosine(vd, F.array(*[F.lit(x) for x in vec])), 6).alias("cos"),
+                F.lit(-int(cid)).alias("neg_id"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+    ranked = F.slice(F.reverse(F.array_sort(scored_tie)), 1, n_probe)
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.transform(ranked, lambda s: -s["neg_id"])).alias(
+            "probe_rank", "list_id"
+        ),
+    )
+
+
+def topk_cosine_ivf(
+    df: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: base vectors live in their nearest
+    centroid's list; each query probes its ``n_probe`` nearest lists and
+    exact cosine re-ranks only those lists' members. The candidate join is
+    an equi-join on ``list_id`` (shuffle by list, AQE-skew-safe) — the
+    standard ANN shape when trained centroids exist, complementing the
+    training-free banded-LSH path."""
+    from pyspark.sql import Window
+
+    base = ivf_assignments(df, n_lists, 1, id_col, vec_col).select(
+        F.col(id_col).alias("id_b"), "list_id"
+    )
+    probes = ivf_assignments(df, n_lists, n_probe, id_col, vec_col).select(
+        F.col(id_col).alias("id_a"), "list_id"
+    )
+    vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    pairs = (
+        probes.join(base, "list_id")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    scored = (
+        pairs.join(vecs.select(F.col(id_col).alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(vecs.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("cos").desc(), F.col("id_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id_a", "id_b", "cos", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def cosine_pairs_lsh(
     df: DataFrame,
     threshold: float = 0.9,

@@ -98,6 +98,14 @@ def q_embed_lsh_buckets(spark, sf_dir):
     )
 
 
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF-flat ANN: deterministic coarse centroids (lowest 16 vec_ids,
+    standing in for offline k-means output), 6-list probe, exact re-rank
+    within probed lists only — the trained-centroid scale path next to the
+    training-free banded LSH."""
+    return S.topk_cosine_ivf(_emb(spark, sf_dir), k=5, n_lists=16, n_probe=6)
+
+
 def q_ann_topk_lsh(spark, sf_dir):
     """Banded-LSH ANN top-k — fully oracle-checked (deterministic md5
     hyperplanes); recall@k vs the exact scan is asserted in
@@ -351,6 +359,47 @@ buckets AS (
 SELECT bucket, CAST(count(*) AS BIGINT) AS n_vectors, min(vec_id) AS min_vec_id
 FROM buckets GROUP BY bucket
 """,
+    "ann_topk_ivf": _FLAT_CTE
+    + """,
+cents AS (
+  SELECT vec_id AS cent_id, pos, val FROM flat WHERE vec_id < 16),
+cnorm AS (SELECT cent_id, sqrt(sum(val * val)) AS cnrm FROM cents GROUP BY cent_id),
+assign_dots AS (
+  SELECT f.vec_id, c.cent_id, sum(f.val * c.val) AS dp
+  FROM flat f JOIN cents c ON c.pos = f.pos
+  GROUP BY 1, 2),
+assign_cos AS (
+  SELECT a.vec_id, a.cent_id,
+    round(a.dp / (n.nrm * cn.cnrm), 6) AS cos
+  FROM assign_dots a
+  JOIN norms n ON n.vec_id = a.vec_id
+  JOIN cnorm cn ON cn.cent_id = a.cent_id),
+assign_rank AS (
+  SELECT vec_id, cent_id,
+    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS pr
+  FROM assign_cos),
+base AS (SELECT vec_id AS id_b, cent_id AS list_id FROM assign_rank WHERE pr = 1),
+probes AS (SELECT vec_id AS id_a, cent_id AS list_id FROM assign_rank WHERE pr <= 6),
+cand AS (
+  SELECT DISTINCT p.id_a, b.id_b
+  FROM probes p JOIN base b ON b.list_id = p.list_id AND p.id_a != b.id_b),
+dots AS (
+  SELECT c.id_a, c.id_b, sum(fa.val * fb.val) AS dp
+  FROM cand c
+  JOIN flat fa ON fa.vec_id = c.id_a
+  JOIN flat fb ON fb.vec_id = c.id_b AND fb.pos = fa.pos
+  GROUP BY 1, 2),
+scored AS (
+  SELECT id_a, id_b, round(dp / (na.nrm * nb.nrm), 6) AS cos
+  FROM dots
+  JOIN norms na ON na.vec_id = id_a
+  JOIN norms nb ON nb.vec_id = id_b),
+ranked AS (
+  SELECT id_a, id_b, cos,
+    CAST(row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS BIGINT) AS rank
+  FROM scored)
+SELECT id_a, id_b, cos, rank FROM ranked WHERE rank <= 5
+""",
     "ann_topk_lsh": _FLAT_CTE
     + _BANDED_CTE
     + """,
@@ -392,6 +441,7 @@ def queries():
         "embed_neardup_cosine": q_embed_neardup_cosine,
         "embed_lsh_buckets": q_embed_lsh_buckets,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
     }
 
 

@@ -149,7 +149,8 @@ def test_ann_registered_plans_have_no_cartesian_product(spark):
     from cdc_tools_spark import queries_ops
 
     sf = "/root/testdata/sf0.001"
-    for name in ("embed_neardup_cosine", "ann_topk_lsh", "embed_lsh_buckets"):
+    for name in ("embed_neardup_cosine", "ann_topk_lsh", "ann_topk_ivf",
+                 "embed_lsh_buckets"):
         df = queries_ops.queries()[name](spark, sf)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, f"{name} plan has a cartesian product"
@@ -172,3 +173,29 @@ def test_minhash_wide_single_shuffle(spark, docs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") == 1
+
+
+def test_ann_ivf_recall(spark):
+    """recall@5 of IVF-flat (16 lists, 6-probe) vs the exact scan on the
+    real sf0.001 embeddings corpus."""
+    from cdc_tools_spark.ops.similarity import topk_cosine, topk_cosine_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r["id_a"], r["id_b"]) for r in topk_cosine(emb, k=5).collect()}
+    approx = {(r["id_a"], r["id_b"]) for r in
+              topk_cosine_ivf(emb, k=5, n_lists=16, n_probe=6).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"recall@5 = {recall:.3f}"
+
+
+def test_ivf_assignment_is_join_free(spark):
+    """Centroid assignment is a pure projection (literal centroid arrays):
+    no join, no shuffle in the plan."""
+    from cdc_tools_spark.ops.similarity import ivf_assignments
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = (
+        ivf_assignments(emb, n_lists=8, n_probe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan and "Exchange" not in plan
