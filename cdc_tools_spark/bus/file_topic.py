@@ -66,8 +66,27 @@ class FileTopic:
         self.n_partitions = n_partitions
         self.partitioner = partitioner
 
+    @property
+    def _meta_path(self) -> str:
+        import os
+
+        return os.path.join(self.root, "_offsets.json")
+
     def end_offsets(self) -> dict[int, int]:
-        """Next offset per partition (0 for empty/new partitions)."""
+        """Next offset per partition (0 for empty/new partitions).
+
+        O(1): read from the tiny ``_offsets.json`` the producer maintains
+        (Kafka's high-watermark metadata analog — a topic partition has a
+        single leader/producer, so the atomic swap is race-free for the
+        supported single-writer case). Falls back to a full scan only for
+        topics written before the metadata existed."""
+        from cdc_tools_spark.lake import fsio
+
+        if fsio.exists(self._meta_path):
+            meta = fsio.read_json(self._meta_path)
+            out = {p: 0 for p in range(self.n_partitions)}
+            out.update({int(k): int(v) for k, v in meta.items()})
+            return out
         try:
             existing = self.spark.read.schema(TOPIC_SCHEMA).parquet(self.root)
         except Exception:
@@ -114,14 +133,35 @@ class FileTopic:
             )
             .select([f.name for f in TOPIC_SCHEMA.fields])
         )
-        n = out.count()
+        from pyspark.sql import Observation
+
+        from cdc_tools_spark.lake import fsio
+
+        obs = Observation()
+        out = out.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.max(F.when(F.col("partition") == p, F.col("offset"))).alias(f"mx_{p}")
+                for p in range(self.n_partitions)
+            ],
+        )
         (
             out.repartition(F.col("partition"))
             .write.mode("append")
             .partitionBy("partition")
             .parquet(self.root)
         )
-        return n
+        stats = obs.get
+        new_ends = dict(ends)
+        for p in range(self.n_partitions):
+            mx = stats[f"mx_{p}"]
+            if mx is not None:
+                new_ends[p] = int(mx) + 1
+        fsio.write_json_atomic(
+            self._meta_path, {str(p): v for p, v in new_ends.items()}, indent=None
+        )
+        return int(stats["n"] or 0)
 
     def read(
         self,
