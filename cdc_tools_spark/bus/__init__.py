@@ -7,6 +7,11 @@ replay can tail. See :mod:`cdc_tools_spark.bus.json_codec` and
 :mod:`cdc_tools_spark.bus.file_topic`.
 """
 
+from cdc_tools_spark.bus.avro_bus import (
+    changelog_avro_schema,
+    deserialize_changelog_avro,
+    serialize_changelog_avro,
+)
 from cdc_tools_spark.bus.file_topic import FileTopic
 from cdc_tools_spark.bus.json_codec import (
     changelog_value_schema,
@@ -16,7 +21,10 @@ from cdc_tools_spark.bus.json_codec import (
 
 __all__ = [
     "FileTopic",
+    "changelog_avro_schema",
     "changelog_value_schema",
     "deserialize_changelog",
+    "deserialize_changelog_avro",
     "serialize_changelog",
+    "serialize_changelog_avro",
 ]

@@ -31,14 +31,21 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import types as T
 
-TOPIC_SCHEMA = T.StructType(
-    [
-        T.StructField("key", T.StringType(), True),
-        T.StructField("value", T.StringType(), True),
-        T.StructField("partition", T.IntegerType(), False),
-        T.StructField("offset", T.LongType(), False),
-    ]
-)
+def topic_schema(value_type: str = "string") -> T.StructType:
+    """Message schema: ``value`` is string (JSON codec) or binary (Avro
+    codec) — the Kafka value-deserializer choice."""
+    vt = {"string": T.StringType(), "binary": T.BinaryType()}[value_type]
+    return T.StructType(
+        [
+            T.StructField("key", T.StringType(), True),
+            T.StructField("value", vt, True),
+            T.StructField("partition", T.IntegerType(), False),
+            T.StructField("offset", T.LongType(), False),
+        ]
+    )
+
+
+TOPIC_SCHEMA = topic_schema("string")
 
 
 def partition_for_key(key, n_partitions: int, partitioner: str = "md5"):
@@ -60,11 +67,13 @@ class FileTopic:
         root: str,
         n_partitions: int = 8,
         partitioner: str = "md5",
+        value_type: str = "string",
     ):
         self.spark = spark
         self.root = root
         self.n_partitions = n_partitions
         self.partitioner = partitioner
+        self.schema = topic_schema(value_type)
 
     @property
     def _meta_path(self) -> str:
@@ -88,7 +97,7 @@ class FileTopic:
             out.update({int(k): int(v) for k, v in meta.items()})
             return out
         try:
-            existing = self.spark.read.schema(TOPIC_SCHEMA).parquet(self.root)
+            existing = self.spark.read.schema(self.schema).parquet(self.root)
         except Exception:
             return {p: 0 for p in range(self.n_partitions)}
         rows = (
@@ -115,8 +124,9 @@ class FileTopic:
         )
         # non-keyed messages (key null — the NonKeyed producer twins) spread
         # by value hash: no per-key order to preserve, just dispersion.
+        # hex() normalizes string and binary values to one routing domain.
         part = partition_for_key(
-            F.coalesce(F.col("key"), F.col("value")),
+            F.coalesce(F.col("key"), F.hex(F.col("value").cast("binary"))),
             self.n_partitions,
             self.partitioner,
         )
@@ -131,7 +141,7 @@ class FileTopic:
                 - 1
                 + base[F.col("partition")],
             )
-            .select([f.name for f in TOPIC_SCHEMA.fields])
+            .select([f.name for f in self.schema.fields])
         )
         from pyspark.sql import Observation
 
@@ -170,7 +180,7 @@ class FileTopic:
     ) -> DataFrame:
         """Consume ``[from, to)`` per partition (Kafka offset-range scan).
         No bounds → the whole topic."""
-        df = self.spark.read.schema(TOPIC_SCHEMA).parquet(self.root)
+        df = self.spark.read.schema(self.schema).parquet(self.root)
         if from_offsets:
             lo = F.create_map(*[F.lit(x) for kv in from_offsets.items() for x in kv])
             df = df.where(F.col("offset") >= F.coalesce(lo[F.col("partition")], F.lit(0)))

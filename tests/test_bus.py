@@ -296,3 +296,33 @@ def test_non_keyed_publish_roundtrip(spark, small_log, tmp_path):
     assert {tuple(r) for r in back.select(*small_log.columns).collect()} == {
         tuple(r) for r in small_log.collect()
     }
+
+
+def test_avro_topic_roundtrip_keyed_and_nonkeyed(spark, small_log, tmp_path):
+    """The K1 Avro producer/consumer twins: changelog -> Avro-binary
+    messages -> binary-valued topic -> decode -> identity, for both the
+    keyed and non-keyed variants."""
+    from cdc_tools_spark.bus import (
+        deserialize_changelog_avro,
+        serialize_changelog_avro,
+    )
+
+    for keyed in (True, False):
+        topic = FileTopic(
+            spark, str(tmp_path / f"t{int(keyed)}"), n_partitions=4,
+            value_type="binary",
+        )
+        topic.append(
+            serialize_changelog_avro(small_log, carry_cols=("lsn", "seqval"),
+                                     keyed=keyed),
+            order_cols=("lsn", "seqval"),
+        )
+        rows = topic.read()
+        if keyed:
+            assert rows.where(F.col("key").isNull()).count() == 0
+        else:
+            assert rows.where(F.col("key").isNotNull()).count() == 0
+        back = deserialize_changelog_avro(rows, PAYLOAD)
+        assert {tuple(r) for r in back.select(*small_log.columns).collect()} == {
+            tuple(r) for r in small_log.collect()
+        }
