@@ -110,3 +110,40 @@ def test_evolve_schema_laws(cur, inc):
             T.StructType([T.StructField(f.name, f.dataType, True)]),
         )
         assert not ch, f"{f.dataType} -> {g} then back reports widening"
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(raw=_events, order=st.randoms())
+def test_mor_converges_under_any_epoch_order(spark, tmp_path_factory, raw, order):
+    """MOR merges applied in a RANDOM epoch order always converge to the
+    in-order oracle (the out-of-order micro-batch guarantee, fuzzed)."""
+    from cdc_tools_spark.lake.parquet_merge import ParquetMergeTable as PMT
+
+    rows = _to_rows(raw)
+    oracle = pandas_replay(rows)
+    log = spark.createDataFrame(rows, schema=EVENT_SCHEMA)
+    work = tmp_path_factory.mktemp("prop_ooo")
+
+    from pyspark.sql import types as T2
+
+    payload = T2.StructType(
+        [f for f in log.schema.fields if f.name not in ("lsn", "seqval", "change_type")]
+    )
+    PMT.create(spark, str(work / "t"), payload, num_buckets=4,
+               order_cols=("lsn", "seqval"), merge_mode="mor")
+    table = PMT(spark, str(work / "t"))
+
+    max_lsn = max(r["lsn"] for r in rows)
+    slices = [(lo, lo + 2) for lo in range(0, max_lsn + 1, 3)]
+    order.shuffle(slices)
+    import pyspark.sql.functions as F2
+
+    for eid, (lo, hi) in enumerate(slices):
+        table.merge(log.where((F2.col("lsn") >= lo) & (F2.col("lsn") <= hi)), eid,
+                    collect_metrics=False)
+    got = {(r["repo"], r["path"]): r["content"] for r in table.read().collect()}
+    assert got == {k: v["content"] for k, v in oracle.items()}
