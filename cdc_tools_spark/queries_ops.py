@@ -71,6 +71,56 @@ def q_dedup_keep_list(spark, sf_dir):
     return D.keep_list(docs, pairs)
 
 
+# -- multimodal ---------------------------------------------------------------
+
+
+def _media(spark, sf_dir):
+    """Deterministic media table derived from documents: payload = UTF-8
+    bytes of the text (the corpus is ASCII, so byte and char offsets agree
+    — verified), kind cycles image/audio/video by id."""
+    d = _docs(spark, sf_dir)
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+
+
+def q_mm_feature_extract(spark, sf_dir):
+    """Multimodal decode plumbing through the REAL mapInPandas path
+    (Arrow-batched; codec stub is sha256-seeded, so every output column is
+    an exact function of the bytes and oracle-checkable). feat0 rounds at
+    4 decimals: b/255 in float32 is > 9e-7 away from any rounding
+    half-point, so float32 storage can never flip the rounded value."""
+    from cdc_tools_spark.ops import multimodal as M
+
+    out = M.extract_features(_media(spark, sf_dir))
+    return out.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "payload_sha256",
+        F.round(F.element_at("features", 1).cast("double"), 4).alias("feat0"),
+    )
+
+
+def q_mm_frame_sample(spark, sf_dir):
+    """Video frame sampling (byte-stride stand-in): JVM-side
+    posexplode/substring; frames fingerprinted by md5 for the oracle."""
+    from cdc_tools_spark.ops import multimodal as M
+
+    frames = M.frame_sample(_media(spark, sf_dir), every_n_bytes=256, frame_bytes=64)
+    return frames.select(
+        "media_id",
+        "frame_no",
+        F.md5(F.col("frame_bytes").cast("string")).alias("frame_md5"),
+    )
+
+
 # -- similarity -------------------------------------------------------------
 
 
@@ -325,6 +375,29 @@ SELECT doc_id,
   string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
 FROM sums GROUP BY doc_id
 """,
+    "mm_feature_extract": """
+WITH media AS (
+  SELECT doc_id AS media_id,
+    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         ELSE 'video' END AS kind,
+    text FROM documents)
+SELECT media_id, kind,
+  CAST(length(text) AS BIGINT) AS n_bytes,
+  sha256(text) AS payload_sha256,
+  round(((strpos('0123456789abcdef', substr(sha256(text), 1, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(sha256(text), 2, 1)) - 1)) / 255.0,
+      4) AS feat0
+FROM media
+""",
+    "mm_frame_sample": """
+SELECT doc_id AS media_id,
+  CAST(f AS BIGINT) AS frame_no,
+  md5(substr(text, CAST(f * 256 + 1 AS INT), 64)) AS frame_md5
+FROM documents,
+  unnest(generate_series(0,
+    GREATEST(1, CAST(floor(length(text) / 256) AS INT)) - 1)) AS t(f)
+WHERE CAST(doc_id % 3 AS INT) = 2
+""",
     "embed_neardup_cosine": _FLAT_CTE
     + _BANDED_CTE
     + """,
@@ -438,6 +511,8 @@ def queries():
         "dedup_neardup_pipeline": q_dedup_neardup_pipeline,
         "dedup_keep_list": q_dedup_keep_list,
         "dedup_simhash": q_dedup_simhash,
+        "mm_feature_extract": q_mm_feature_extract,
+        "mm_frame_sample": q_mm_frame_sample,
         "embed_neardup_cosine": q_embed_neardup_cosine,
         "embed_lsh_buckets": q_embed_lsh_buckets,
         "ann_topk_lsh": q_ann_topk_lsh,
