@@ -133,3 +133,22 @@ def test_mor_full_replay_matches_oracle(spark, tmp_path):
         assert hashlib.sha256(str(got[k]).encode()).hexdigest() == hashlib.sha256(
             str(v["content"]).encode()
         ).hexdigest()
+
+
+def test_mor_rescale_buckets(spark, tmp_path):
+    """rescale() on a MOR table folds delta chains into the new bucket
+    layout (read-time compaction feeds the rewrite); subsequent merges
+    append deltas under the new count."""
+    t = _mor(spark, str(tmp_path / "t"), num_buckets=2)
+    for i in range(5):
+        t.merge(spark.createDataFrame(
+            [_row(i, 2, f"p{i}", f"v{i}"), _row(i, 4, "p0", f"u{i}")],
+            schema=SCHEMA), i)
+    before = _state(t)
+    t.rescale(8)
+    assert _state(t) == before
+    m = t._load()
+    assert m["num_buckets"] == 8
+    t.merge(spark.createDataFrame([_row(9, 2, "p1", "NEW")], schema=SCHEMA), 9)
+    got = _state(t)
+    assert got["p1"] == "NEW" and got["p0"] == "u4"
