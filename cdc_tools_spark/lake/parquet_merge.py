@@ -549,7 +549,12 @@ class ParquetMergeTable(LakeTable):
         m["buckets"] = new_buckets
         m["versions"][str(version)] = {
             "schema": new_schema.json(),
-            "buckets": dict(new_buckets),
+            # deep-copy the version lists: snapshots must never alias the
+            # live bucket map's list objects
+            "buckets": {
+                b: (list(v) if isinstance(v, list) else v)
+                for b, v in new_buckets.items()
+            },
             "epoch_id": epoch_id,
         }
         retain = sorted((int(v) for v in m["versions"]), reverse=True)[
@@ -600,7 +605,10 @@ class ParquetMergeTable(LakeTable):
         m["buckets"] = new_buckets
         m["versions"][str(version)] = {
             "schema": m["schema"],
-            "buckets": dict(new_buckets),
+            "buckets": {
+                b: (list(v) if isinstance(v, list) else v)
+                for b, v in new_buckets.items()
+            },
             "epoch_id": epoch_id,
         }
         self._store(m)

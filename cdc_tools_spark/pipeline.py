@@ -148,13 +148,17 @@ def replay(
     # must not be trusted to match the crashed run's boundaries. Replaying
     # strictly lsn > watermark can neither drop events nor re-apply older
     # ones (ADVICE r1, high).
-    committed = commit_log.records()
+    # O(1) resume state: one directory listing + the last marker (epochs
+    # commit in order, so its to_lsn is the high watermark) — never a read
+    # of every marker file (10k epochs on S3 would mean 10k GETs).
+    committed_ids = commit_log.committed_epochs()
     epoch_base = 0
-    if committed:
-        resume_lsn = max(r.to_lsn for r in committed)
-        epoch_base = max(r.epoch for r in committed) + 1
+    if committed_ids:
+        last = commit_log.last_committed()
+        resume_lsn = last.to_lsn
+        epoch_base = last.epoch + 1
         log = log.where(F.col("lsn") > resume_lsn)
-        summary.epochs_skipped = len(committed)
+        summary.epochs_skipped = len(committed_ids)
         epochs = plan_epochs(log, config.epoch_events, config.epoch_strategy)
         epochs = [
             Epoch(epoch_base + i, e.from_lsn, e.to_lsn) for i, e in enumerate(epochs)
