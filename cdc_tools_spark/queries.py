@@ -238,6 +238,31 @@ def q_cdc_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_replay_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/F4 certified numerically: the commit log's per-epoch metrics —
+    applied upserts + applied deletes + redundant (compacted-away) events —
+    must reconcile exactly with the raw event count of each epoch's LSN
+    range, and the markers carry the range itself. Metrics ride the merge
+    job's Observation (no second pass), so this row also proves the
+    single-pass accounting."""
+    from cdc_tools_spark.state.commit_log import CommitLog
+
+    log = changelog_from_events(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="cdc_metrics_")
+    cfg = ReplayConfig(epoch_events=500, num_buckets=8, epoch_strategy="exact",
+                       collect_metrics=True)
+    replay(spark, log, os.path.join(work, "table"), os.path.join(work, "state"),
+           config=cfg)
+    metrics = CommitLog(os.path.join(work, "state"), "run-0").as_dataframe(spark)
+    return metrics.select(
+        F.col("epoch").alias("epoch_id"),
+        "from_lsn",
+        "to_lsn",
+        (F.col("applied_upserts") + F.col("applied_deletes") + F.col("skipped_events"))
+        .alias("n_events"),
+    )
+
+
 def q_cdc_changekey_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C7 + A4: flattened ChangeKey construction and per-repo distinct-key /
     redundancy metrics ('N redundant changes were omitted')."""
@@ -425,6 +450,26 @@ SELECT CAST(row_number() OVER (ORDER BY from_lsn) - 1 AS BIGINT) AS epoch_id,
        from_lsn, to_lsn
 FROM grouped
 """,
+    # per-epoch metric reconciliation: applied + skipped == raw events of
+    # the epoch's LSN range (same 500-event exact slicing as cdc_epoch_plan)
+    "cdc_replay_metrics": _LOG_CTE
+    + """,
+per_lsn AS (SELECT lsn, count(*) AS cnt FROM log GROUP BY lsn),
+cum AS (
+  SELECT lsn, COALESCE(sum(cnt) OVER (
+    ORDER BY lsn ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM per_lsn),
+grouped AS (
+  SELECT CAST(floor(before / 500) AS BIGINT) AS eid, min(lsn) AS from_lsn, max(lsn) AS to_lsn
+  FROM cum GROUP BY 1),
+epochs AS (
+  SELECT CAST(row_number() OVER (ORDER BY from_lsn) - 1 AS BIGINT) AS epoch_id,
+         from_lsn, to_lsn
+  FROM grouped)
+SELECT e.epoch_id, e.from_lsn, e.to_lsn, CAST(count(*) AS BIGINT) AS n_events
+FROM epochs e JOIN log l ON l.lsn BETWEEN e.from_lsn AND e.to_lsn
+GROUP BY 1, 2, 3
+""",
     "cdc_changekey_dedup": _LOG_CTE
     + """
 SELECT repo,
@@ -601,6 +646,7 @@ def queries() -> dict[str, QueryFn]:
         "cdc_watermarks": q_cdc_watermarks,
         "cdc_epoch_plan": q_cdc_epoch_plan,
         "cdc_changekey_dedup": q_cdc_changekey_dedup,
+        "cdc_replay_metrics": q_cdc_replay_metrics,
         "cdc_publish_roundtrip": q_cdc_publish_roundtrip,
         "cdc_topic_partitions": q_cdc_topic_partitions,
         "cdc_typed_payload_replay": q_cdc_typed_payload_replay,
