@@ -8,12 +8,24 @@ against ``file://``, ``hdfs://``, ``s3a://``.
 
 Scheme-less local paths take the plain-``os`` fast path: it is atomic
 (``os.replace``) and needs no JVM round-trip; any URI scheme (including
-``file://``) routes through Hadoop. For schemed paths the manifest swap is
-delete+rename — FileSystem.rename has no overwrite mode, so the swap has a
-tiny non-atomic window; production object stores should front this with a
-conditional put / commit service (same caveat as parquet_merge.py's header,
-unchanged in strength: HDFS rename is atomic, the delete+rename pair is
-not).
+``file://``) routes through Hadoop.
+
+Two write primitives with different contracts:
+
+* :func:`write_text_atomic` — last-writer-wins swap. For *hint* files only
+  (pointers, offset metadata): on schemed paths the delete+rename pair has
+  a tiny non-atomic window, so nothing authoritative may live behind it.
+* :func:`create_exclusive` — atomic create-if-absent (the CAS seam for
+  multi-writer commits). Local: tmp + ``os.link`` (fails if the target
+  exists — one atomic syscall). Hadoop: tmp + ``FileSystem.rename``, which
+  per the FS contract returns ``False`` when the destination exists (HDFS
+  gives this atomically; S3A should front it with a commit service or
+  S3 conditional-put — the seam is this one function).
+
+Table commits (``parquet_merge``) and epoch markers (``commit_log``) go
+exclusively through :func:`create_exclusive` on immutable, versioned
+files — a lost ``write_text_atomic`` swap can no longer lose table
+metadata (ADVICE r2: versioned manifests + a last-version pointer).
 """
 
 from __future__ import annotations
@@ -91,6 +103,58 @@ def write_text_atomic(path: str, text: str) -> None:
         fs.delete(p, False)
     if not fs.rename(tmp, p):
         raise OSError(f"rename {tmp} -> {p} failed")
+
+
+class CommitConflictError(RuntimeError):
+    """Optimistic-concurrency loser: another writer created the commit file
+    first. The losing operation performed no visible mutation (its data
+    directory is unreferenced garbage for vacuum); retrying from a fresh
+    manifest load is safe."""
+
+
+def create_exclusive(path: str, text: str) -> bool:
+    """Atomically create ``path`` with ``text`` iff it does not exist.
+
+    Returns True on success, False when the path already exists — the
+    compare-and-swap primitive behind manifest commits and epoch markers.
+    Content is staged to a temp file first, so a reader can never observe a
+    half-written commit file.
+    """
+    if _is_local(path):
+        d = os.path.dirname(path)
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, prefix=".cas-", suffix=".swp")
+        try:
+            with os.fdopen(fd, "w") as fh:
+                fh.write(text)
+            try:
+                os.link(tmp, path)  # atomic; EEXIST if the target exists
+                return True
+            except FileExistsError:
+                return False
+        finally:
+            os.unlink(tmp)
+    jvm, fs, p = _fs(path)
+    parent = p.getParent()
+    fs.mkdirs(parent)
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        parent, f".cas-{os.getpid()}-{abs(hash(text)) % 10**9}.swp"
+    )
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    # FileSystem.rename returns False when the destination exists (the FS
+    # contract's non-overwrite semantics) — that IS the CAS.
+    if fs.rename(tmp, p):
+        return True
+    fs.delete(tmp, False)
+    return False
+
+
+def create_exclusive_json(path: str, obj: dict, indent: int | None = 1) -> bool:
+    return create_exclusive(path, json.dumps(obj, indent=indent))
 
 
 def listdir(path: str) -> list[str]:

@@ -8,11 +8,21 @@ Design is a miniature Iceberg:
   ``b = pmod(xxhash64(key_cols...), num_buckets)``. A merge rewrites *only
   the buckets its batch touches* (the partition-pruning analog that keeps a
   merge O(batch ∪ touched buckets), not O(table) — essential at 100 TB).
-* **Snapshot manifest** — ``root/manifest.json`` maps each bucket to the
-  version directory holding its current data, plus the current schema and
-  per-version schemas. The manifest swap is atomic (tmp + rename), so
-  readers always see a consistent snapshot; old versions remain for time
-  travel / debugging.
+* **Snapshot manifest** — an immutable, CAS-committed chain
+  ``root/_manifests/manifest-{seq}.json``; each manifest maps every bucket
+  to the data directory (by version) holding its current rows, plus the
+  current schema and per-version schemas. Loading = list the (bounded)
+  manifest directory and read the highest seq; committing = exclusive
+  create of ``manifest-{seq+1}.json`` (``fsio.create_exclusive``) — the
+  loser of a concurrent commit gets :class:`CommitConflictError` and has
+  mutated nothing visible. ``root/manifest.json`` is only a best-effort
+  last-seq pointer for humans/recovery, never authoritative.
+* **Concurrent-writer safety** — data directories carry a per-attempt
+  unique suffix (``d{version}-{token}``), so two racing writers can never
+  write into the same path; whichever manifest CAS wins references its own
+  files, the loser's directory is unreferenced garbage that :meth:`vacuum`
+  collects. This is the lake-side analog of the reference's staged merge
+  running inside a Redshift transaction (RedshiftDao.cs:91-115).
 * **MERGE** — survivors = current rows of touched buckets anti-joined
   against the batch's keys; merged = survivors ∪ batch upserts. Equivalent
   to the reference's staged delete-then-insert transaction
@@ -24,14 +34,16 @@ Design is a miniature Iceberg:
   before the merge; old files are read through the evolved schema (missing
   column → null, widened type → upcast), mirroring Iceberg ``UpdateSchema``.
 
-On a real cluster the manifest swap should go through a commit service /
-conditional put; the interface is unchanged.
+On object stores without atomic rename the single hardening point is
+``fsio.create_exclusive`` (one conditional put); everything above it is
+already multi-writer correct.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import uuid
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
@@ -40,6 +52,7 @@ from pyspark.sql import types as T
 
 from cdc_tools_spark.lake import fsio
 from cdc_tools_spark.lake.base import LakeTable, MergeResult
+from cdc_tools_spark.lake.fsio import CommitConflictError  # re-export
 from cdc_tools_spark.sources.binlog import DELETE
 
 META_COLS = ("lsn", "seqval", "change_type")
@@ -143,6 +156,29 @@ def _versions_of(v) -> list[int]:
     return [v] if v >= 0 else []
 
 
+def _data_dirname(m: dict, version: int) -> str:
+    """Directory name holding ``version``'s data files. New tables map it
+    through the manifest's ``dirs`` table (unique ``d{version}-{token}``
+    names — see the concurrent-writer section of the module docstring);
+    pre-CAS manifests fall back to the legacy ``v{version}`` layout."""
+    return m.get("dirs", {}).get(str(version), f"v{version}")
+
+
+def _parse_dir_version(name: str) -> int | None:
+    """Version number encoded in a data directory name (``v{N}`` legacy or
+    ``d{N}-{token}``); None for non-data entries (manifests, tmp files)."""
+    if name.startswith("v"):
+        body = name[1:]
+    elif name.startswith("d"):
+        body = name[1:].split("-", 1)[0]
+    else:
+        return None
+    try:
+        return int(body)
+    except ValueError:
+        return None
+
+
 def _align(df: DataFrame, schema: T.StructType) -> DataFrame:
     """Project ``df`` onto ``schema``: cast present columns, null the rest."""
     cols = []
@@ -192,18 +228,109 @@ class ParquetMergeTable(LakeTable):
     # -- manifest ----------------------------------------------------------
     # All manifest/listing I/O goes through the Hadoop FileSystem API
     # (lake/fsio.py) so the same table runs against file://, hdfs://, s3a://.
+    # Commit protocol: immutable manifest-{seq}.json chain, advanced only by
+    # exclusive create (optimistic CAS); root/manifest.json is a best-effort
+    # last-seq pointer (recovery hint), never read on the load path.
+    MANIFEST_DIR = "_manifests"
+
     @property
-    def _manifest_path(self) -> str:
+    def _manifest_dir(self) -> str:
+        return os.path.join(self.root, self.MANIFEST_DIR)
+
+    @property
+    def _pointer_path(self) -> str:
         return os.path.join(self.root, self.MANIFEST)
 
+    def _mpath(self, seq: int) -> str:
+        return os.path.join(self._manifest_dir, f"manifest-{seq:010d}.json")
+
+    @staticmethod
+    def _mseq(name: str) -> int | None:
+        if name.startswith("manifest-") and name.endswith(".json"):
+            try:
+                return int(name[len("manifest-") : -len(".json")])
+            except ValueError:
+                return None
+        return None
+
+    def _latest_seq(self) -> int | None:
+        seqs = [
+            s for s in (self._mseq(n) for n in fsio.listdir(self._manifest_dir))
+            if s is not None
+        ]
+        return max(seqs) if seqs else None
+
     def exists(self) -> bool:
-        return fsio.exists(self._manifest_path)
+        if self._latest_seq() is not None:
+            return True
+        # pre-CAS layout: the full manifest lived in root/manifest.json
+        return (
+            fsio.exists(self._pointer_path)
+            and "format_version" in fsio.read_json(self._pointer_path)
+        )
 
     def _load(self) -> dict:
-        return fsio.read_json(self._manifest_path)
+        """Current snapshot = the highest manifest in the (bounded) chain —
+        one directory listing + one read; readers never trust the pointer."""
+        seq = self._latest_seq()
+        if seq is None:
+            m = fsio.read_json(self._pointer_path)  # legacy single-file layout
+            m.setdefault("commit_seq", -1)  # first CAS commit writes seq 0
+            return m
+        m = fsio.read_json(self._mpath(seq))
+        m["commit_seq"] = seq
+        return m
 
     def _store(self, manifest: dict) -> None:
-        fsio.write_json_atomic(self._manifest_path, manifest)  # snapshot swap
+        """Commit the next manifest: exclusive create of seq+1 (CAS on the
+        chain head). Raises :class:`CommitConflictError` when another writer
+        committed first — this writer's data directories are unreferenced
+        and the caller may retry the whole operation from a fresh load."""
+        seq = int(manifest.get("commit_seq", -1)) + 1
+        manifest["commit_seq"] = seq
+        if not fsio.create_exclusive_json(self._mpath(seq), manifest):
+            raise CommitConflictError(
+                f"manifest seq {seq} for {self.root!r} was committed by another "
+                "writer; reload and retry the operation"
+            )
+        # Best-effort conveniences, never authoritative: the last-seq pointer
+        # (recovery/human hint) and GC of manifests older than the retention
+        # window (readers list+max, so deleting history is invisible).
+        try:
+            fsio.write_json_atomic(
+                self._pointer_path, {"seq": seq, "dir": self.MANIFEST_DIR}, indent=None
+            )
+            keep = max(int(manifest.get("retained_snapshots", 16)), 4)
+            for name in fsio.listdir(self._manifest_dir):
+                s = self._mseq(name)
+                if s is not None and s <= seq - keep:
+                    fsio.delete(os.path.join(self._manifest_dir, name))
+        except Exception:
+            pass  # the committed manifest is already durable
+
+    def _new_data_dir(self, m: dict, version: int) -> tuple[str, str]:
+        """Allocate a collision-free data directory for ``version`` and
+        register it in the manifest's ``dirs`` map (committed only if this
+        writer's CAS wins)."""
+        dirname = f"d{version}-{uuid.uuid4().hex[:8]}"
+        m.setdefault("dirs", {})[str(version)] = dirname
+        return dirname, os.path.join(self.root, dirname)
+
+    def _prune_snapshots(self, m: dict) -> None:
+        """Bound manifest size: keep the most recent snapshots' bucket maps
+        (time-travel window = retained_snapshots) and drop ``dirs`` entries
+        no retained snapshot or live bucket references."""
+        retain = sorted((int(v) for v in m["versions"]), reverse=True)[
+            : m.get("retained_snapshots", 16)
+        ]
+        m["versions"] = {str(v): m["versions"][str(v)] for v in retain}
+        if "dirs" in m:
+            live = {x for v in m["buckets"].values() for x in _versions_of(v)}
+            for snap in m["versions"].values():
+                live |= {
+                    x for v in snap["buckets"].values() for x in _versions_of(v)
+                }
+            m["dirs"] = {k: d for k, d in m["dirs"].items() if int(k) in live}
 
     @classmethod
     def create(
@@ -293,12 +420,15 @@ class ParquetMergeTable(LakeTable):
             want = {str(b) for b in buckets}
             items = [(b, v) for b, v in assigned.items() if b in want]
         # COW: v is an int (-1 = all rows deleted, no files); MOR: v is the
-        # ordered [base, delta...] version list.
-        return [
-            os.path.join(self.root, f"v{x}", f"bucket={b}")
-            for b, v in items
-            for x in _versions_of(v)
-        ]
+        # ordered [base, delta...] version list. Deduped: distinct buckets
+        # may reference one shared directory mid-rescale.
+        return list(
+            dict.fromkeys(
+                os.path.join(self.root, _data_dirname(manifest, x), f"bucket={b}")
+                for b, v in items
+                for x in _versions_of(v)
+            )
+        )
 
     def _compact_stored(self, df: DataFrame, order_cols: Sequence[str]) -> DataFrame:
         """Newer-wins over stored rows (MOR read-time compaction): one hash
@@ -361,11 +491,13 @@ class ParquetMergeTable(LakeTable):
                 "create time or vacuum less aggressively)"
             )
         schema = T.StructType.fromJson(json.loads(m["versions"][str(version)]["schema"]))
-        dirs = [
-            os.path.join(self.root, f"v{x}", f"bucket={b}")
-            for b, v in m["versions"][str(version)]["buckets"].items()
-            for x in _versions_of(v)
-        ]
+        dirs = list(
+            dict.fromkeys(
+                os.path.join(self.root, _data_dirname(m, x), f"bucket={b}")
+                for b, v in m["versions"][str(version)]["buckets"].items()
+                for x in _versions_of(v)
+            )
+        )
         df = self._current_rows(m, schema, dirs=dirs)
         if m.get("order_cols"):
             df = df.where(~F.col("_tombstone")).drop("_tombstone")
@@ -381,35 +513,44 @@ class ParquetMergeTable(LakeTable):
         'Live' is the union of bucket→version assignments across the
         current state AND every retained snapshot — a retained snapshot's
         bucket map references older version dirs for buckets unchanged at
-        that snapshot, and those must survive (ADVICE r1 #2)."""
+        that snapshot, and those must survive (ADVICE r1 #2). Directories
+        referenced by nothing include CAS-loser write attempts (unique
+        ``d{v}-{token}`` twins of a committed version) — those are garbage
+        by construction; a directory whose version number exceeds the
+        current manifest's belongs to an in-flight writer and is left
+        alone."""
         m = self._load()
         if keep_versions is None:
             keep_versions = m.get("retained_snapshots", 16)
         recent = set(
             sorted((int(v) for v in m["versions"]), reverse=True)[:keep_versions]
         )
-        live = {x for v in m["buckets"].values() for x in _versions_of(v)}
+        live_versions = {x for v in m["buckets"].values() for x in _versions_of(v)}
         for rv in recent:
-            live |= {
+            live_versions |= {
                 x
                 for v in m["versions"][str(rv)]["buckets"].values()
                 for x in _versions_of(v)
             }
+        live_dirs = {_data_dirname(m, x) for x in live_versions}
         removed = []
         for name in fsio.listdir(self.root):
-            if not name.startswith("v"):
+            v = _parse_dir_version(name)
+            if v is None or name in live_dirs:
                 continue
-            try:
-                v = int(name[1:])
-            except ValueError:
-                continue
-            if v not in live and v not in recent:
-                fsio.delete(os.path.join(self.root, name))
+            if v in recent and name == _data_dirname(m, v):
+                continue  # retained snapshot's own (possibly empty) version
+            if v > m["version"]:
+                continue  # in-flight concurrent writer — not ours to judge
+            fsio.delete(os.path.join(self.root, name))
+            if name == _data_dirname(m, v):
                 m["versions"].pop(str(v), None)
-                removed.append(v)
+                if "dirs" in m:
+                    m["dirs"].pop(str(v), None)
+            removed.append(v)
         if removed:
             self._store(m)
-        return sorted(removed)
+        return sorted(set(removed))
 
     def expire_tombstones(self, below_lsn: int, epoch_id: int) -> int:
         """GC delete tombstones older than a replay watermark (ordered
@@ -423,7 +564,7 @@ class ParquetMergeTable(LakeTable):
         df = self._current_rows(m, schema)
         keep = df.where(~F.col("_tombstone") | (F.col("lsn") >= below_lsn))
         version = m["version"] + 1
-        vdir = os.path.join(self.root, f"v{version}")
+        _, vdir = self._new_data_dir(m, version)
         (
             keep.withColumn("bucket", self._bucket_expr(m["num_buckets"]))
             .repartition(F.col("bucket"))
@@ -445,6 +586,7 @@ class ParquetMergeTable(LakeTable):
             "buckets": dict(m["buckets"]),
             "epoch_id": epoch_id,
         }
+        self._prune_snapshots(m)
         self._store(m)
         return version
 
@@ -493,7 +635,7 @@ class ParquetMergeTable(LakeTable):
             )
 
         version = m["version"] + 1
-        vdir = os.path.join(self.root, f"v{version}")
+        _, vdir = self._new_data_dir(m, version)
         (
             delta.withColumn("bucket", self._bucket_expr(m["num_buckets"]))
             .repartition(F.col("bucket"))
@@ -557,10 +699,7 @@ class ParquetMergeTable(LakeTable):
             },
             "epoch_id": epoch_id,
         }
-        retain = sorted((int(v) for v in m["versions"]), reverse=True)[
-            : m.get("retained_snapshots", 16)
-        ]
-        m["versions"] = {str(v): m["versions"][str(v)] for v in retain}
+        self._prune_snapshots(m)
         self._store(m)
         return MergeResult(
             epoch_id, n_upserts, n_deletes, len(written), version, lineage, raw_events
@@ -585,7 +724,7 @@ class ParquetMergeTable(LakeTable):
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         df = self._current_rows(m, schema, buckets=over)
         version = m["version"] + 1
-        vdir = os.path.join(self.root, f"v{version}")
+        _, vdir = self._new_data_dir(m, version)
         (
             df.withColumn("bucket", self._bucket_expr(m["num_buckets"]))
             .repartition(F.col("bucket"))
@@ -611,6 +750,7 @@ class ParquetMergeTable(LakeTable):
             },
             "epoch_id": epoch_id,
         }
+        self._prune_snapshots(m)
         self._store(m)
         return version
 
@@ -627,7 +767,7 @@ class ParquetMergeTable(LakeTable):
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         df = self._current_rows(m, schema)
         version = m["version"] + 1
-        vdir = os.path.join(self.root, f"v{version}")
+        _, vdir = self._new_data_dir(m, version)
         (
             df.withColumn("bucket", self._bucket_expr(new_num_buckets))
             .repartition(F.col("bucket"))
@@ -650,6 +790,7 @@ class ParquetMergeTable(LakeTable):
             "buckets": dict(m["buckets"]),
             "epoch_id": epoch_id,
         }
+        self._prune_snapshots(m)
         self._store(m)
         return version
 
@@ -796,7 +937,7 @@ class ParquetMergeTable(LakeTable):
             )
 
         version = m["version"] + 1
-        vdir = os.path.join(self.root, f"v{version}")
+        _, vdir = self._new_data_dir(m, version)
         out = merged.withColumn("bucket", self._bucket_expr(num_buckets))
         # Route each bucket's rows into its own directory; the shuffle on
         # bucket is also the write-parallelism knob (AQE coalesces).
@@ -858,10 +999,7 @@ class ParquetMergeTable(LakeTable):
         # on disk until vacuum(), but are no longer time-travelable. The
         # window is the retained_snapshots table property (shared with
         # vacuum); read_version raises a descriptive error past it.
-        retain = sorted((int(v) for v in m["versions"]), reverse=True)[
-            : m.get("retained_snapshots", 16)
-        ]
-        m["versions"] = {str(v): m["versions"][str(v)] for v in retain}
+        self._prune_snapshots(m)
         self._store(m)
         return MergeResult(
             epoch_id, n_upserts, n_deletes, len(touched), version, lineage, raw_events

@@ -82,13 +82,22 @@ class ReplaySummary:
 
 
 def _with_retries(fn, attempts: int, backoff_s: float):
-    """Job-level retry with exponential backoff (idempotent callables only)."""
+    """Job-level retry with exponential backoff (idempotent callables only).
+
+    Deterministic failures (unsupported schema promotion, key mismatch —
+    ValueError/TypeError) surface immediately: re-running a guaranteed-fatal
+    merge wastes full jobs and delays the error (ADVICE r2). Transient
+    classes (Py4J/IO/storage blips, and CommitConflictError from a racing
+    writer — a reload-and-retry is exactly the right response) are retried.
+    """
     import time
 
     last = None
     for i in range(attempts + 1):
         try:
             return fn()
+        except (ValueError, TypeError):
+            raise
         except Exception as e:  # noqa: BLE001 — deliberately broad: job-level guard
             last = e
             if i < attempts:

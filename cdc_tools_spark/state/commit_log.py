@@ -60,13 +60,14 @@ class CommitLog:
     def is_committed(self, epoch: int) -> bool:
         return fsio.exists(self._path(epoch))
 
-    def commit(self, rec: EpochCommit) -> None:
-        """Atomic, immutable marker write. Re-committing an epoch is a no-op
-        (idempotent replay may race a marker that already exists)."""
-        path = self._path(rec.epoch)
-        if fsio.exists(path):
-            return
-        fsio.write_json_atomic(path, asdict(rec), indent=None)
+    def commit(self, rec: EpochCommit) -> bool:
+        """Atomic create-if-absent marker write (``fsio.create_exclusive``
+        — no check-then-write window). Two drivers replaying the same epoch
+        both merged idempotently; the first marker wins and the second
+        commit is a no-op. Returns True iff this call created the marker."""
+        return fsio.create_exclusive_json(
+            self._path(rec.epoch), asdict(rec), indent=None
+        )
 
     def committed_epochs(self) -> list[int]:
         return sorted(

@@ -325,3 +325,40 @@ def test_multi_table_replay(spark, tmp_path):
     # commit logs are namespaced per table under one execution id
     assert CommitLog(str(tmp_path / "s"), "run-0", "t_a").committed_epochs()
     assert CommitLog(str(tmp_path / "s"), "run-0", "t_b").committed_epochs()
+
+
+def test_deterministic_merge_failure_is_not_retried(spark, tmp_path):
+    """A guaranteed-fatal error (ValueError — key mismatch, unsupported
+    schema promotion) must surface immediately instead of burning
+    max_retries full merge jobs with backoff (ADVICE r2)."""
+    import pytest
+
+    events, _ = person_scenario()
+    log = spark.createDataFrame(events, schema=EVENT_SCHEMA)
+
+    class Fatal:
+        def __init__(self, inner):
+            self.inner, self.key_cols, self.calls = inner, inner.key_cols, 0
+
+        def exists(self):
+            return self.inner.exists()
+
+        def read(self):
+            return self.inner.read()
+
+        def merge(self, *a, **kw):
+            self.calls += 1
+            raise ValueError("key mismatch: deterministic, never retryable")
+
+    from cdc_tools_spark.lake.parquet_merge import ParquetMergeTable as PMT
+    from cdc_tools_spark.pipeline import _payload_schema
+
+    root = str(tmp_path / "t")
+    PMT.create(spark, root, _payload_schema(log), num_buckets=8)
+    fatal = Fatal(PMT(spark, root))
+    # huge backoff: if the retry path were taken, this test would hang
+    cfg = ReplayConfig(epoch_events=10**6, num_buckets=8, epoch_strategy="exact",
+                       max_retries=3, retry_backoff_s=60.0)
+    with pytest.raises(ValueError, match="key mismatch"):
+        replay(spark, log, root, str(tmp_path / "s"), config=cfg, table=fatal)
+    assert fatal.calls == 1
