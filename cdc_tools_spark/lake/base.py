@@ -44,6 +44,11 @@ class MergeResult:
     # raw batch rows BEFORE compaction — observed on the merge job itself
     # (no second pass over the batch); -1 when metrics were not collected.
     raw_events: int = -1
+    # [min, max] lsn of the raw batch, observed on the same job — the
+    # commit-marker bounds for streaming micro-batches (no per-batch
+    # agg/collect in foreachBatch); -1/-1 when empty or not collected.
+    batch_min_lsn: int = -1
+    batch_max_lsn: int = -1
 
 
 class LakeTable(ABC):

@@ -122,6 +122,20 @@ class IcebergTable(LakeTable):
         batch = compact_last_write_wins(batch, self.key_cols)
         payload = T.StructType([f for f in batch.schema.fields if f.name not in META_COLS])
         self.evolve(payload)
+        # upsert/delete counts ride the MERGE job itself via Observation on
+        # the source view's plan — no separate batch.agg().collect() pass
+        # (VERDICT r2 #10)
+        obs = None
+        if collect_metrics and self.execute:
+            import pyspark.sql.functions as F
+            from pyspark.sql import Observation
+
+            obs = Observation(f"iceberg-merge-{epoch_id}")
+            batch = batch.observe(
+                obs,
+                F.sum(F.when(F.col("change_type") == DELETE, 1).otherwise(0)).alias("d"),
+                F.count(F.lit(1)).alias("n"),
+            )
         view = f"_cdc_batch_{epoch_id}"
         batch.createOrReplaceTempView(view)
         on = " AND ".join(f"t.`{k}` = s.`{k}`" for k in self.key_cols)
@@ -137,13 +151,19 @@ class IcebergTable(LakeTable):
             f"VALUES ({ins_vals})"
         )
         n_del = n_up = 0
-        if collect_metrics and self.execute:
+        if obs is not None:
             import pyspark.sql.functions as F
 
-            row = batch.agg(
-                F.sum(F.when(F.col("change_type") == DELETE, 1).otherwise(0)).alias("d"),
-                F.count(F.lit(1)).alias("n"),
-            ).collect()[0]
-            n_del = int(row["d"] or 0)
-            n_up = int(row["n"]) - n_del
+            from cdc_tools_spark.lake.parquet_merge import _obs_get
+
+            stats = _obs_get(
+                obs,
+                batch,
+                [
+                    F.sum(F.when(F.col("change_type") == DELETE, 1).otherwise(0)).alias("d"),
+                    F.count(F.lit(1)).alias("n"),
+                ],
+            )
+            n_del = int(stats["d"] or 0)
+            n_up = int(stats["n"] or 0) - n_del
         return MergeResult(epoch_id, n_up, n_del, 0, epoch_id)

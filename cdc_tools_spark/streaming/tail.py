@@ -23,7 +23,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
@@ -91,23 +90,23 @@ def stream_tail(
 def _merge_batch_fn(table, commit_log, execution_id):
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         # merge() compacts internally — one aggregation does micro-batch
-        # compaction and newer-wins dedup together.
+        # compaction and newer-wins dedup together. The commit marker's
+        # bounds (min/max lsn, raw count) ride the merge job's own
+        # Observation (MergeResult.batch_min/max_lsn + raw_events) — no
+        # second aggregation pass over the micro-batch (VERDICT r2 #2).
         result = table.merge(batch, epoch_id=batch_id, collect_metrics=True)
-        bounds = batch.agg(
-            F.coalesce(F.min("lsn"), F.lit(-1)).alias("lo"),
-            F.coalesce(F.max("lsn"), F.lit(-1)).alias("hi"),
-            F.count(F.lit(1)).alias("n"),
-        ).collect()[0]
         commit_log.commit(
             EpochCommit(
                 execution_id=execution_id,
                 table_name=commit_log.table_name,
                 epoch=batch_id,
-                from_lsn=int(bounds["lo"]),
-                to_lsn=int(bounds["hi"]),
+                from_lsn=result.batch_min_lsn,
+                to_lsn=result.batch_max_lsn,
                 applied_upserts=result.upserts,
                 applied_deletes=result.deletes,
-                skipped_events=max(0, int(bounds["n"]) - result.upserts - result.deletes),
+                skipped_events=max(
+                    0, max(0, result.raw_events) - result.upserts - result.deletes
+                ),
                 table_version=result.version,
                 partition_lineage={str(k): v for k, v in result.partition_lineage.items()},
             )

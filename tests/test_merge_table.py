@@ -246,3 +246,54 @@ def test_delete_only_first_batch(spark, tmp_path):
     assert table.read().count() == 0
     r2 = table.merge(batch, 0, collect_metrics=False)  # idempotent replay
     assert table.read().count() == 0 and r2.raw_events == -1
+
+
+def _file_batch(spark, tmp_path, rows, name):
+    """File-backed batch: CollectMetrics survives optimization, and job
+    counts are representative of real (non-LocalRelation) inputs."""
+    p = str(tmp_path / name)
+    spark.createDataFrame(rows, schema=EVENT_SCHEMA).write.parquet(p)
+    return spark.read.parquet(p)
+
+
+def test_merge_result_carries_batch_lsn_bounds(spark, tmp_path):
+    """Streaming foreachBatch builds its commit marker purely from
+    MergeResult — min/max lsn and raw count must be observed on the merge
+    job itself (VERDICT r2 #2), for both COW and MOR tables."""
+    rows = [_row(lsn, 2, "r", f"p{lsn}_{i}", "v") for lsn in (5, 7, 11) for i in range(3)]
+
+    cow = ParquetMergeTable.create(spark, str(tmp_path / "cow"), PAYLOAD, num_buckets=4)
+    r = cow.merge(_file_batch(spark, tmp_path, rows, "in_cow"), epoch_id=1)
+    assert (r.batch_min_lsn, r.batch_max_lsn, r.raw_events) == (5, 11, 9)
+    assert sum(r.partition_lineage.values()) == 9  # lineage rode the same job
+
+    mor = ParquetMergeTable.create(
+        spark, str(tmp_path / "mor"), PAYLOAD, num_buckets=4,
+        order_cols=("lsn", "seqval"), merge_mode="mor",
+    )
+    r = mor.merge(_file_batch(spark, tmp_path, rows, "in_mor"), epoch_id=1)
+    assert (r.batch_min_lsn, r.batch_max_lsn, r.raw_events) == (5, 11, 9)
+    assert sum(r.partition_lineage.values()) == 9
+
+
+def test_cow_metrics_add_no_spark_jobs(spark, tmp_path):
+    """Merge metrics (counts, lsn bounds, per-bucket lineage) ride the
+    write job via Observation: a metrics-on COW merge submits exactly as
+    many Spark jobs as a metrics-off one (VERDICT r2 #7 — the post-write
+    lineage read-back is gone)."""
+    rows = [_row(i, 2, "r", f"p{i}", "v") for i in range(40)]
+    batch = _file_batch(spark, tmp_path, rows, "in")
+    st = spark.sparkContext.statusTracker()
+
+    t_off = ParquetMergeTable.create(spark, str(tmp_path / "off"), PAYLOAD, num_buckets=4)
+    before = set(st.getJobIdsForGroup())
+    t_off.merge(batch, epoch_id=1, collect_metrics=False)
+    jobs_off = len(set(st.getJobIdsForGroup()) - before)
+
+    t_on = ParquetMergeTable.create(spark, str(tmp_path / "on"), PAYLOAD, num_buckets=4)
+    before = set(st.getJobIdsForGroup())
+    r = t_on.merge(batch, epoch_id=1, collect_metrics=True)
+    jobs_on = len(set(st.getJobIdsForGroup()) - before)
+
+    assert r.raw_events == 40 and sum(r.partition_lineage.values()) == 40
+    assert jobs_on == jobs_off
