@@ -65,13 +65,31 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All doc pairs with shingle-set Jaccard ≥ threshold.
 
     Join on shared shingle prunes to pairs with ≥1 common shingle; exact
     Jaccard from |A∩B| and per-doc shingle counts. The verify stage of the
-    near-dup pipeline."""
+    near-dup pipeline.
+
+    ``max_doc_freq`` is the skew guard for the shared-shingle join (the
+    same deterministic-cap idea as the ANN bucket cap,
+    :func:`cdc_tools_spark.ops.similarity.ann_candidates`): shingles
+    appearing in more than that many documents are *stop-shingles* —
+    boilerplate that would create a quadratic join group while carrying no
+    near-dup signal — and are dropped from the shingle universe entirely
+    (intersections AND per-doc counts, so Jaccard stays exact over the
+    filtered sets and any engine reproduces it bit-for-bit)."""
     sh = word_shingles(df, n, text_col, id_col)
+    if max_doc_freq is not None:
+        ok = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(ok, "shingle")
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

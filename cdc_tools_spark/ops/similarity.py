@@ -224,27 +224,48 @@ def topk_cosine_lsh(
     )
 
 
+def ivf_centroids(
+    df: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Default (training-free) centroid set: the vectors with the
+    ``n_lists`` smallest ids — a deterministic stand-in for offline k-means
+    output. One bounded collect; callers that assign twice (base + probes)
+    collect once and share the list (VERDICT r2 #4)."""
+    return sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in df.select(id_col, vec_col).where(F.col(id_col) < n_lists).collect()
+    )
+
+
 def ivf_assignments(
     df: DataFrame,
     n_lists: int = 16,
     n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | DataFrame | None = None,
 ) -> DataFrame:
     """(id, probe_rank, list_id) — IVF coarse quantization: each vector's
     ``n_probe`` nearest centroid lists by cosine.
 
-    Centroids are the vectors with the ``n_lists`` smallest ids — a
-    deterministic stand-in for offline k-means output (production feeds
-    trained centroids in exactly this shape). The centroid set is bounded
-    and tiny, so it ships as **literal arrays inside the projection** —
-    assignment is O(n·K) inside codegen with no join of any kind (the
-    broadcast-nested-loop a naive crossJoin would cost is avoided
+    ``centroids`` is the trained-centroid injection point: a
+    ``[(list_id, vector), ...]`` list or a DataFrame of ``(id_col,
+    vec_col)`` rows (offline k-means output in production); omitted, the
+    deterministic :func:`ivf_centroids` stand-in is used. The centroid set
+    is bounded and tiny, so it ships as **literal arrays inside the
+    projection** — assignment is O(n·K) inside codegen with no join of any
+    kind (the broadcast-nested-loop a naive crossJoin would cost is avoided
     entirely). Ties break toward the lower list id."""
-    centroids = sorted(
-        (r[0], [float(x) for x in r[1]])
-        for r in df.select(id_col, vec_col).where(F.col(id_col) < n_lists).collect()
-    )
+    if centroids is None:
+        centroids = ivf_centroids(df, n_lists, id_col, vec_col)
+    elif isinstance(centroids, DataFrame):
+        centroids = sorted(
+            (int(r[0]), [float(x) for x in r[1]])
+            for r in centroids.select(id_col, vec_col).collect()
+        )
     vd = _as_double(F.col(vec_col))
     # array_sort on structs sorts ascending by (cos, neg_id); reversing gives
     # cos DESC with ties toward the LOWER list id (negated id trick).
@@ -273,19 +294,28 @@ def topk_cosine_ivf(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: base vectors live in their nearest
     centroid's list; each query probes its ``n_probe`` nearest lists and
     exact cosine re-ranks only those lists' members. The candidate join is
     an equi-join on ``list_id`` (shuffle by list, AQE-skew-safe) — the
-    standard ANN shape when trained centroids exist, complementing the
-    training-free banded-LSH path."""
+    standard ANN shape when trained centroids exist (pass them via
+    ``centroids``), complementing the training-free banded-LSH path."""
     from pyspark.sql import Window
 
-    base = ivf_assignments(df, n_lists, 1, id_col, vec_col).select(
+    if centroids is None:
+        centroids = ivf_centroids(df, n_lists, id_col, vec_col)
+    elif isinstance(centroids, DataFrame):
+        centroids = sorted(
+            (int(r[0]), [float(x) for x in r[1]])
+            for r in centroids.select(id_col, vec_col).collect()
+        )
+    # one centroid collect shared by base and probe assignment
+    base = ivf_assignments(df, n_lists, 1, id_col, vec_col, centroids).select(
         F.col(id_col).alias("id_b"), "list_id"
     )
-    probes = ivf_assignments(df, n_lists, n_probe, id_col, vec_col).select(
+    probes = ivf_assignments(df, n_lists, n_probe, id_col, vec_col, centroids).select(
         F.col(id_col).alias("id_a"), "list_id"
     )
     vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))

@@ -48,7 +48,11 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+    # max_doc_freq: deterministic stop-shingle cap — bounds the quadratic
+    # shared-shingle join group a boilerplate shingle would create
+    return D.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.5, max_doc_freq=100
+    )
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -323,10 +327,13 @@ FROM documents GROUP BY 1
 """,
     "dedup_ngram_jaccard": _SHINGLE_CTE
     + """,
-counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shf AS (  -- stop-shingle cap: drop shingles in > 100 docs (max_doc_freq)
+  SELECT doc_id, shingle FROM sh WHERE shingle IN
+    (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100)),
+counts AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT doc_a, doc_b,
   round(CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common), 6) AS jaccard

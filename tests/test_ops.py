@@ -199,3 +199,62 @@ def test_ivf_assignment_is_join_free(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_ivf_external_trained_centroids(spark):
+    """Production injects offline-k-means output: an explicit centroids
+    argument (list or DataFrame) drives assignment; default and explicit
+    forms of the same set agree, and a different set changes routing
+    (VERDICT r2 #4)."""
+    from cdc_tools_spark.ops.similarity import (
+        ivf_assignments,
+        ivf_centroids,
+        topk_cosine_ivf,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_centroids(emb, n_lists=8)
+    default = ivf_assignments(emb, n_lists=8, n_probe=2).collect()
+    explicit = ivf_assignments(emb, n_lists=8, n_probe=2, centroids=cents).collect()
+    as_df = ivf_assignments(
+        emb, n_lists=8, n_probe=2,
+        centroids=emb.where(F.col("vec_id") < 8),
+    ).collect()
+    key = lambda rows: sorted((r["vec_id"], r["probe_rank"], r["list_id"]) for r in rows)
+    assert key(default) == key(explicit) == key(as_df)
+
+    # a genuinely different trained set must change the routing
+    other = [(cid, vec) for cid, vec in
+             ivf_centroids(emb.where(F.col("vec_id") >= 100), n_lists=200)[:8]]
+    routed = ivf_assignments(emb, n_lists=8, n_probe=1, centroids=other).collect()
+    assert {r["list_id"] for r in routed} <= {cid for cid, _ in other}
+    assert key(routed) != key(default)
+
+    # end-to-end: topk accepts the same injection point
+    topk = topk_cosine_ivf(emb.limit(64), k=3, n_lists=8, n_probe=4, centroids=cents)
+    assert topk.count() > 0
+
+
+def test_ngram_jaccard_stop_shingle_cap_bounds_candidates(spark):
+    """A boilerplate shingle shared by every document would create one
+    quadratic join group; max_doc_freq drops it deterministically, so the
+    candidate set collapses to the genuinely-overlapping pairs."""
+    from cdc_tools_spark.ops.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"x y z u{i} v{i} w{i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    # threshold 0 exposes every candidate pair the join materializes
+    uncapped = ngram_jaccard_pairs(docs, n=3, threshold=0.0)
+    capped = ngram_jaccard_pairs(docs, n=3, threshold=0.0, max_doc_freq=10)
+    assert uncapped.count() == 30 * 29 // 2  # ubiquitous 'x y z' -> all pairs
+    assert capped.count() == 0  # stop-shingle dropped, no candidates at all
+
+    # pairs above threshold via genuinely shared content survive the cap
+    docs2 = docs.union(
+        spark.createDataFrame([(100, "x y z u5 v5 w5")], "doc_id long, text string")
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(docs2, n=3, threshold=0.5, max_doc_freq=10).collect()}
+    assert (5, 100) in got and got[(5, 100)] == 1.0
