@@ -15,10 +15,11 @@ two Kafka properties the pipeline actually relies on:
 
 Layout: ``root/partition={p}/append-{seq}.parquet`` with rows
 ``(key, value, offset)``; appends are whole-batch atomic per partition
-directory (parquet job commit). The default partitioner is the first md5
-nibble mod n — deliberately engine-portable so the DuckDB oracle reproduces
-partition assignment bit-for-bit; production can pass
-``partitioner="xxhash64"`` for better dispersion at large n.
+directory (parquet job commit). The default partitioner is the first 8 md5
+hex chars mod n (a 32-bit routing domain, even dispersion at any realistic
+n) — deliberately engine-portable so the DuckDB oracle reproduces partition
+assignment bit-for-bit; ``partitioner="xxhash64"`` is the faster
+Spark-only alternative.
 
 Reads are plain parquet scans: Structured Streaming can tail the same
 directory (``spark.readStream.schema(...).parquet(root)``) — see
@@ -49,12 +50,20 @@ TOPIC_SCHEMA = topic_schema("string")
 
 
 def partition_for_key(key, n_partitions: int, partitioner: str = "md5"):
-    """Deterministic key→partition routing (a Column expression)."""
+    """Deterministic key→partition routing (a Column expression).
+
+    ``md5`` uses the first 8 hex chars (32 bits — 4 × 10⁹ routing values,
+    so any realistic partition count disperses evenly; the earlier
+    single-nibble form silently starved partitions 16..n−1, ADVICE r2) and
+    stays engine-portable: DuckDB reproduces it as
+    ``('0x' || substr(md5(k),1,8))::BIGINT % n``. ``xxhash64`` is the
+    faster Spark-only alternative."""
+    if n_partitions < 1:
+        raise ValueError(f"n_partitions must be >= 1, got {n_partitions}")
     k = F.col(key) if isinstance(key, str) else key
     if partitioner == "md5":
-        # first md5 nibble mod n — reproducible in DuckDB for the oracle
-        nibble = F.conv(F.substring(F.md5(k), 1, 1), 16, 10).cast("int")
-        return F.pmod(nibble, F.lit(n_partitions)).cast("int")
+        prefix = F.conv(F.substring(F.md5(k), 1, 8), 16, 10).cast("long")
+        return F.pmod(prefix, F.lit(n_partitions)).cast("int")
     if partitioner == "xxhash64":
         return F.pmod(F.xxhash64(k), F.lit(n_partitions)).cast("int")
     raise ValueError(f"unknown partitioner: {partitioner!r}")
@@ -81,21 +90,17 @@ class FileTopic:
 
         return os.path.join(self.root, "_offsets.json")
 
-    def end_offsets(self) -> dict[int, int]:
-        """Next offset per partition (0 for empty/new partitions).
+    @property
+    def _intent_path(self) -> str:
+        import os
 
-        O(1): read from the tiny ``_offsets.json`` the producer maintains
-        (Kafka's high-watermark metadata analog — a topic partition has a
-        single leader/producer, so the atomic swap is race-free for the
-        supported single-writer case). Falls back to a full scan only for
-        topics written before the metadata existed."""
+        return os.path.join(self.root, "_append_intent.json")
+
+    def _scan_end_offsets(self) -> dict[int, int]:
+        """Authoritative end offsets from the data itself (full scan of the
+        offset column — parquet reads only that column)."""
         from cdc_tools_spark.lake import fsio
 
-        if fsio.exists(self._meta_path):
-            meta = fsio.read_json(self._meta_path)
-            out = {p: 0 for p in range(self.n_partitions)}
-            out.update({int(k): int(v) for k, v in meta.items()})
-            return out
         try:
             existing = self.spark.read.schema(self.schema).parquet(self.root)
         except Exception:
@@ -107,6 +112,37 @@ class FileTopic:
         for r in rows:
             out[int(r["partition"])] = int(r["mx"]) + 1
         return out
+
+    def end_offsets(self) -> dict[int, int]:
+        """Next offset per partition (0 for empty/new partitions).
+
+        O(1): read from the tiny ``_offsets.json`` the producer maintains
+        (Kafka's high-watermark metadata analog — a topic partition has a
+        single leader/producer, so the atomic swap is race-free for the
+        supported single-writer case).
+
+        Crash safety (ADVICE r2): :meth:`append` brackets the
+        data-then-metadata pair with an intent marker; if the marker is
+        present the metadata may be stale (a crash landed between the
+        parquet commit and the offsets swap), so this falls back to the
+        authoritative scan, repairs the metadata, and clears the marker —
+        stale metadata can never assign a duplicate ``(partition, offset)``.
+        Topics written before the metadata existed also take the scan."""
+        from cdc_tools_spark.lake import fsio
+
+        if fsio.exists(self._intent_path):
+            out = self._scan_end_offsets()
+            fsio.write_json_atomic(
+                self._meta_path, {str(p): v for p, v in out.items()}, indent=None
+            )
+            fsio.delete(self._intent_path)
+            return out
+        if fsio.exists(self._meta_path):
+            meta = fsio.read_json(self._meta_path)
+            out = {p: 0 for p in range(self.n_partitions)}
+            out.update({int(k): int(v) for k, v in meta.items()})
+            return out
+        return self._scan_end_offsets()
 
     def append(self, messages: DataFrame, order_cols: tuple[str, ...] = ()) -> int:
         """Publish one batch of ``(key, value)`` messages; returns the row
@@ -143,6 +179,8 @@ class FileTopic:
             )
             .select([f.name for f in self.schema.fields])
         )
+        import os as _os
+
         from pyspark.sql import Observation
 
         from cdc_tools_spark.lake import fsio
@@ -156,6 +194,11 @@ class FileTopic:
                 for p in range(self.n_partitions)
             ],
         )
+        # Intent marker brackets the non-transactional data+metadata pair:
+        # present ⇒ end_offsets distrusts _offsets.json and rescans (a crash
+        # between the parquet commit and the offsets swap must never lead to
+        # duplicate (partition, offset) assignment — ADVICE r2).
+        fsio.write_json_atomic(self._intent_path, {"pid": _os.getpid()}, indent=None)
         (
             out.repartition(F.col("partition"))
             .write.mode("append")
@@ -171,6 +214,7 @@ class FileTopic:
         fsio.write_json_atomic(
             self._meta_path, {str(p): v for p, v in new_ends.items()}, indent=None
         )
+        fsio.delete(self._intent_path)
         return int(stats["n"] or 0)
 
     def read(

@@ -78,7 +78,11 @@ def _encode_value(out: io.BytesIO, v, at) -> None:
             out.write(raw)
             return
         if lt == "date":
-            d = v.date() if hasattr(v, "date") and not isinstance(v, datetime.date) else v
+            # datetime.datetime (and pd.Timestamp) are SUBCLASSES of
+            # datetime.date, so the check must be "is a datetime → take its
+            # .date()", never "has .date() and is not a date" — the latter
+            # is dead for datetimes and breaks the day arithmetic (ADVICE r2)
+            d = v.date() if isinstance(v, datetime.datetime) else v
             _write_varint(out, (d - _EPOCH_DATE).days)
             return
         if lt == "timestamp-micros":

@@ -501,16 +501,16 @@ ranked AS (
 SELECT repo, path, CAST(amount AS DOUBLE) AS amount, event_date, event_ts, content
 FROM ranked WHERE rn = 1 AND change_type <> 1
 """,
-    # partitioner twin: first md5 nibble of the ChangeKey mod 8; offsets are
-    # dense per partition, so max_offset must equal count-1.
+    # partitioner twin: first 8 md5 hex chars of the ChangeKey mod 8 (the
+    # 32-bit routing domain — see bus.file_topic.partition_for_key); offsets
+    # are dense per partition, so max_offset must equal count-1.
     "cdc_topic_partitions": _LOG_CTE
     + """,
 keyed AS (
   SELECT repo || '|' || path AS key FROM log),
 parts AS (
   SELECT key,
-    CAST((strpos('0123456789abcdef', substr(md5(key), 1, 1)) - 1) % 8 AS INT)
-      AS partition
+    CAST(('0x' || substr(md5(key), 1, 8))::BIGINT % 8 AS INT) AS partition
   FROM keyed)
 SELECT partition,
   CAST(count(*) AS BIGINT) AS n_messages,

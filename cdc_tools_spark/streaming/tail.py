@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
@@ -41,6 +42,54 @@ class StreamConfig:
     # "mor" appends O(batch) deltas per micro-batch (high-frequency tails);
     # pair with ParquetMergeTable.compact_table on a maintenance cadence.
     merge_mode: str = "cow"
+    # S9 source selection for stream_tail_topic: "file" tails a FileTopic
+    # directory (the in-sandbox bus); "kafka" builds the real
+    # readStream.format("kafka") reader (needs the spark-sql-kafka package
+    # on the cluster) — decode and merge plans are identical either way.
+    source: str = "file"
+    bootstrap_servers: str | None = None
+    topic: str | None = None
+    starting_offsets: str = "earliest"
+    max_offsets_per_trigger: int | None = None  # Kafka's backpressure knob
+
+
+def kafka_source_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """Options for ``spark.readStream.format("kafka")`` matching the
+    reference consumer's subscribe/poll configuration
+    (KeyedJsonConsumer.cs:88-144: subscribe by topic, resume from committed
+    or earliest). ``maxOffsetsPerTrigger`` is the micro-batch sizing /
+    backpressure bound (the file path's ``maxFilesPerTrigger`` twin)."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        # exactly-once lives in the idempotent merge + commit log, not in
+        # Kafka's (at-least-once) delivery — never fail the query on GC'd
+        # source offsets
+        "failOnDataLoss": "false",
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def decode_kafka_batch(batch: DataFrame, payload_schema) -> DataFrame:
+    """Kafka wire records → changelog rows: cast the binary key/value to
+    string (keyed-JSON codec) and ``from_json``-decode the envelope — the
+    exact decode plan the FileTopic path runs, applied to Kafka's
+    ``(key binary, value binary, topic, partition, offset, ...)`` shape."""
+    from cdc_tools_spark.bus.json_codec import deserialize_changelog
+
+    msgs = batch.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+    )
+    return deserialize_changelog(msgs, payload_schema)
 
 
 def stream_tail(
@@ -124,14 +173,18 @@ def stream_tail_topic(
     execution_id: str = "stream-topic-0",
     config: StreamConfig | None = None,
 ) -> StreamingQuery:
-    """The S9 Kafka-shape source: tail a keyed-JSON message topic
-    (:class:`cdc_tools_spark.bus.FileTopic` layout) and ``from_json``-decode
-    each micro-batch back into changelog rows before the ordered merge —
-    the KeyedJsonConsumer.cs:88-152 consume→deserialize→buffer path.
+    """The S9 Kafka-shape source: tail a keyed-JSON message topic and
+    ``from_json``-decode each micro-batch back into changelog rows before
+    the ordered merge — the KeyedJsonConsumer.cs:88-152
+    consume→deserialize→buffer path.
 
-    On a real bus, replace ``readStream.schema(...).parquet(topic_root)``
-    with ``readStream.format("kafka")...`` — ``key``/``value`` columns and
-    the decode/merge plan are identical."""
+    ``config.source`` picks the bus: ``"file"`` tails a
+    :class:`cdc_tools_spark.bus.FileTopic` directory (the in-sandbox bus,
+    ``topic_root``); ``"kafka"`` builds the real
+    ``readStream.format("kafka")`` reader from
+    ``config.bootstrap_servers``/``config.topic`` (requires the
+    spark-sql-kafka package on the cluster). Decode and merge plans are
+    identical — only the source node differs."""
     import pyspark.sql.types as T
 
     from cdc_tools_spark.bus.file_topic import TOPIC_SCHEMA
@@ -148,15 +201,40 @@ def stream_tail_topic(
             order_cols=("lsn", "seqval"), merge_mode=config.merge_mode,
         )
 
-    stream = (
-        spark.readStream.schema(TOPIC_SCHEMA)
-        .option("maxFilesPerTrigger", config.max_files_per_trigger)
-        .parquet(topic_root)
-    )
     merge = _merge_batch_fn(table, commit_log, execution_id)
+    if config.source == "kafka":
+        if not (config.bootstrap_servers and config.topic):
+            raise ValueError(
+                "source='kafka' requires StreamConfig.bootstrap_servers and .topic"
+            )
+        stream = (
+            spark.readStream.format("kafka")
+            .options(
+                **kafka_source_options(
+                    config.bootstrap_servers,
+                    config.topic,
+                    config.starting_offsets,
+                    config.max_offsets_per_trigger,
+                )
+            )
+            .load()
+        )
 
-    def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        merge(deserialize_changelog(batch, payload), batch_id)
+        def apply_batch(batch: DataFrame, batch_id: int) -> None:
+            merge(decode_kafka_batch(batch, payload), batch_id)
+
+    elif config.source == "file":
+        stream = (
+            spark.readStream.schema(TOPIC_SCHEMA)
+            .option("maxFilesPerTrigger", config.max_files_per_trigger)
+            .parquet(topic_root)
+        )
+
+        def apply_batch(batch: DataFrame, batch_id: int) -> None:
+            merge(deserialize_changelog(batch, payload), batch_id)
+
+    else:
+        raise ValueError(f"unknown stream source: {config.source!r}")
 
     return (
         stream.writeStream.foreachBatch(apply_batch)

@@ -326,3 +326,129 @@ def test_avro_topic_roundtrip_keyed_and_nonkeyed(spark, small_log, tmp_path):
         assert {tuple(r) for r in back.select(*small_log.columns).collect()} == {
             tuple(r) for r in small_log.collect()
         }
+
+
+def test_avro_evolution_over_bus_end_to_end(spark, tmp_path):
+    """Composed mid-stream schema evolution (VERDICT r2 #9): the producer's
+    payload gains a column between epochs; the consumer detects the writer
+    schema change via schema_fingerprint (KeyedAvroConsumer.cs:139-142
+    analog), decodes each generation with its own schema, and the merge
+    evolves the lake table — fingerprint → decode → evolve → merge wired
+    together, converging to the right final state."""
+    from cdc_tools_spark.bus.avro_bus import (
+        changelog_avro_schema,
+        deserialize_changelog_avro,
+        serialize_changelog_avro,
+    )
+    from cdc_tools_spark.lake.parquet_merge import ParquetMergeTable
+
+    v1 = "lsn long, seqval long, change_type int, repo string, path string, content string"
+    gen1 = spark.createDataFrame(
+        [(1, 0, 2, "r", "a", "v1"), (1, 1, 2, "r", "b", "v1")], v1
+    )
+    gen2 = spark.createDataFrame(
+        [(2, 0, 4, "r", "a", "v2", "py"), (2, 1, 2, "r", "c", "v2", "md")],
+        v1 + ", lang string",
+    )
+    p1 = T.StructType([f for f in gen1.schema.fields if f.name not in META_COLS])
+    p2 = T.StructType([f for f in gen2.schema.fields if f.name not in META_COLS])
+
+    topic = FileTopic(spark, str(tmp_path / "topic"), n_partitions=2,
+                      value_type="binary")
+    topic.append(serialize_changelog_avro(gen1, carry_cols=("lsn", "seqval")),
+                 order_cols=("lsn", "seqval"))
+    mid = topic.end_offsets()
+    topic.append(serialize_changelog_avro(gen2, carry_cols=("lsn", "seqval")),
+                 order_cols=("lsn", "seqval"))
+
+    # consumer-side detection: the wire schema fingerprint changed mid-stream
+    fp1 = schema_fingerprint(changelog_avro_schema(p1))
+    fp2 = schema_fingerprint(changelog_avro_schema(p2))
+    assert fp1 != fp2
+
+    table = ParquetMergeTable.create(
+        spark, str(tmp_path / "lake"), p1, key_cols=("repo", "path"), num_buckets=4
+    )
+    table.merge(deserialize_changelog_avro(topic.read(to_offsets=mid), p1), 0)
+    assert "lang" not in table.schema().fieldNames()
+    # fingerprint change -> decode with the new writer schema -> the merge
+    # evolves the table (column add) before applying
+    table.merge(deserialize_changelog_avro(topic.read(from_offsets=mid), p2), 1)
+    assert "lang" in table.schema().fieldNames()
+
+    got = {r["path"]: (r["content"], r["lang"]) for r in table.read().collect()}
+    assert got == {"a": ("v2", "py"), "b": ("v1", None), "c": ("v2", "md")}
+
+
+def test_md5_partitioner_disperses_past_16_partitions(spark):
+    """ADVICE r2: the single-nibble form silently starved partitions 16..n-1;
+    the 8-hex-char routing domain reaches every partition."""
+    from cdc_tools_spark.bus.file_topic import partition_for_key
+
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(2000)], "key string")
+    parts = {
+        r["p"]
+        for r in keys.select(partition_for_key("key", 32).alias("p")).distinct().collect()
+    }
+    assert parts == set(range(32))
+    with pytest.raises(ValueError, match="n_partitions"):
+        partition_for_key("key", 0)
+
+
+def test_append_crash_between_data_and_metadata_is_repaired(spark, tmp_path):
+    """ADVICE r2 (medium): a crash between the parquet commit and the
+    _offsets.json swap leaves stale end-offset metadata; the intent marker
+    makes that state detectable, end_offsets falls back to the
+    authoritative scan, and no duplicate (partition, offset) is ever
+    assigned."""
+    from cdc_tools_spark.lake import fsio
+
+    topic = FileTopic(spark, str(tmp_path / "t"), n_partitions=4)
+
+    def msgs(lo, n):
+        return spark.createDataFrame(
+            [(f"k{i % 7}", f"v{i}") for i in range(lo, lo + n)],
+            "key string, value string",
+        )
+
+    topic.append(msgs(0, 20))
+    stale = topic.end_offsets()
+    topic.append(msgs(20, 20))
+    # reproduce the crash window exactly: second batch's data is committed,
+    # but metadata is wound back and the intent marker is still present
+    fsio.write_json_atomic(
+        topic._meta_path, {str(p): v for p, v in stale.items()}, indent=None
+    )
+    fsio.write_json_atomic(topic._intent_path, {"pid": 0}, indent=None)
+
+    repaired = topic.end_offsets()  # scan fallback + metadata repair
+    assert not fsio.exists(topic._intent_path)
+    assert sum(repaired.values()) == 40
+
+    topic.append(msgs(40, 20))  # resumes from repaired offsets
+    per: dict[int, list[int]] = {}
+    for r in topic.read().select("partition", "offset").collect():
+        per.setdefault(r["partition"], []).append(r["offset"])
+    assert sum(len(v) for v in per.values()) == 60
+    for offs in per.values():  # dense from 0, no duplicates
+        assert sorted(offs) == list(range(len(offs)))
+
+
+def test_avro_date_encoder_accepts_datetime_subclasses():
+    """ADVICE r2: datetime.datetime and pd.Timestamp are subclasses of
+    datetime.date — the date logical-type encoder must convert them via
+    .date() instead of feeding them to day arithmetic."""
+    import datetime
+
+    import pandas as pd
+
+    from cdc_tools_spark.functions.avro_codec import decode_record, encode_record
+
+    sch = {
+        "type": "record", "name": "d",
+        "fields": [{"name": "d", "type": {"type": "int", "logicalType": "date"}}],
+    }
+    day = datetime.date(2024, 3, 1)
+    for v in (day, datetime.datetime(2024, 3, 1, 12, 30),
+              pd.Timestamp("2024-03-01 12:30")):
+        assert decode_record(encode_record({"d": v}, sch), sch) == {"d": day}

@@ -148,3 +148,76 @@ def test_stream_tail_mor_converges_and_compacts(spark, tmp_path):
     assert state() == want
     table.compact_table(max_deltas=1)  # fold every delta chain
     assert state() == want  # reads unchanged after the fold
+
+
+def test_kafka_source_options_match_reference_consumer():
+    """S9 real-bus branch: the options dict is the executable form of the
+    reference consumer's subscribe/resume config (KeyedJsonConsumer.cs:88-144)."""
+    from cdc_tools_spark.streaming.tail import kafka_source_options
+
+    opts = kafka_source_options(
+        "broker-1:9092,broker-2:9092", "cdc.repo_files",
+        starting_offsets="latest", max_offsets_per_trigger=50_000,
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "broker-1:9092,broker-2:9092",
+        "subscribe": "cdc.repo_files",
+        "startingOffsets": "latest",
+        "failOnDataLoss": "false",
+        "maxOffsetsPerTrigger": "50000",
+    }
+    assert "maxOffsetsPerTrigger" not in kafka_source_options("b:9092", "t")
+
+
+def test_decode_kafka_batch_roundtrip(spark):
+    """The Kafka-branch decode plan, driven with a fabricated micro-batch in
+    Kafka's exact wire shape (binary key/value + topic/partition/offset):
+    publish→decode is the identity on the changelog."""
+    import pyspark.sql.functions as F
+
+    from cdc_tools_spark.bus.json_codec import serialize_changelog
+    from cdc_tools_spark.pipeline import _payload_schema
+    from cdc_tools_spark.streaming.tail import decode_kafka_batch
+    from tests.conftest import EVENT_SCHEMA, person_scenario
+
+    events, _ = person_scenario()
+    log = spark.createDataFrame(events, schema=EVENT_SCHEMA)
+    wire = serialize_changelog(log).select(
+        F.col("key").cast("binary").alias("key"),
+        F.col("value").cast("binary").alias("value"),
+        F.lit("cdc.repo_files").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+    got = decode_kafka_batch(wire, _payload_schema(log))
+    assert sorted(got.columns) == sorted(log.columns)
+    key = lambda df: sorted(tuple(r) for r in df.select(*sorted(df.columns)).collect())
+    assert key(got) == key(log)
+
+
+def test_kafka_branch_builds_real_reader(spark, tmp_path):
+    """source='kafka' constructs the actual readStream.format('kafka')
+    reader — in this sandbox (no kafka package) that surfaces Spark's
+    missing-data-source error, proving the claim is executable code, not a
+    docstring."""
+    import pytest
+
+    from cdc_tools_spark.streaming.tail import StreamConfig, stream_tail_topic
+
+    cfg = StreamConfig(source="kafka", bootstrap_servers="b:9092", topic="t",
+                       num_buckets=4)
+    with pytest.raises(Exception, match="(?i)kafka"):
+        stream_tail_topic(
+            spark, topic_root="unused", table_root=str(tmp_path / "t"),
+            state_root=str(tmp_path / "s"),
+            checkpoint_dir=str(tmp_path / "c"), config=cfg,
+        )
+    cfg2 = StreamConfig(source="kafka", num_buckets=4)  # missing broker/topic
+    with pytest.raises(ValueError, match="bootstrap_servers"):
+        stream_tail_topic(
+            spark, topic_root="unused", table_root=str(tmp_path / "t2"),
+            state_root=str(tmp_path / "s2"),
+            checkpoint_dir=str(tmp_path / "c2"), config=cfg2,
+        )
