@@ -40,8 +40,13 @@ class StreamConfig:
     max_files_per_trigger: int = 8
     processing_time: str = "0 seconds"  # as-fast-as-possible micro-batches
     # "mor" appends O(batch) deltas per micro-batch (high-frequency tails);
-    # pair with ParquetMergeTable.compact_table on a maintenance cadence.
+    # the governor below keeps read amplification bounded on long streams.
     merge_mode: str = "cow"
+    # MOR governor cadence: after each micro-batch, fold any bucket whose
+    # delta chain exceeds this (manifest-only check when nothing is over —
+    # no Spark job). None disables. Without it a long-running MOR stream
+    # grows delta chains without bound. Ignored for COW.
+    mor_max_deltas: int | None = 16
     # S9 source selection for stream_tail_topic: "file" tails a FileTopic
     # directory (the in-sandbox bus); "kafka" builds the real
     # readStream.format("kafka") reader (needs the spark-sql-kafka package
@@ -129,14 +134,19 @@ def stream_tail(
     )
 
     return (
-        stream.writeStream.foreachBatch(_merge_batch_fn(table, commit_log, execution_id))
+        stream.writeStream.foreachBatch(
+            _merge_batch_fn(
+                table, commit_log, execution_id,
+                config.mor_max_deltas if config.merge_mode == "mor" else None,
+            )
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(processingTime=config.processing_time)
         .start()
     )
 
 
-def _merge_batch_fn(table, commit_log, execution_id):
+def _merge_batch_fn(table, commit_log, execution_id, mor_max_deltas=None):
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         # merge() compacts internally — one aggregation does micro-batch
         # compaction and newer-wins dedup together. The commit marker's
@@ -160,6 +170,10 @@ def _merge_batch_fn(table, commit_log, execution_id):
                 partition_lineage={str(k): v for k, v in result.partition_lineage.items()},
             )
         )
+        # MOR read-amplification governor (same cadence as the batch
+        # pipeline): manifest-only check when no chain is over threshold
+        if mor_max_deltas is not None and hasattr(table, "compact_table"):
+            table.compact_table(max_deltas=mor_max_deltas)
 
     return apply_batch
 
@@ -201,7 +215,10 @@ def stream_tail_topic(
             order_cols=("lsn", "seqval"), merge_mode=config.merge_mode,
         )
 
-    merge = _merge_batch_fn(table, commit_log, execution_id)
+    merge = _merge_batch_fn(
+        table, commit_log, execution_id,
+        config.mor_max_deltas if config.merge_mode == "mor" else None,
+    )
     if config.source == "kafka":
         if not (config.bootstrap_servers and config.topic):
             raise ValueError(

@@ -221,3 +221,40 @@ def test_kafka_branch_builds_real_reader(spark, tmp_path):
             state_root=str(tmp_path / "s2"),
             checkpoint_dir=str(tmp_path / "c2"), config=cfg2,
         )
+
+
+def test_stream_mor_governor_bounds_delta_chains(spark, tmp_path):
+    """A long-running MOR stream must not grow delta chains without bound:
+    the per-micro-batch governor folds any chain past mor_max_deltas."""
+    import pyspark.sql.functions as F
+
+    from cdc_tools_spark.lake.parquet_merge import ParquetMergeTable, _versions_of
+    from cdc_tools_spark.streaming.tail import StreamConfig, stream_tail
+    from tests.conftest import EVENT_SCHEMA
+
+    log_dir = str(tmp_path / "log")
+    # 12 tiny files -> 12 micro-batches of deltas onto few buckets
+    for i in range(12):
+        spark.createDataFrame(
+            [{"lsn": i, "seqval": 0, "change_type": 2, "repo": "r",
+              "path": f"p{i % 3}", "commit": f"c{i}", "lang": "py",
+              "content": f"v{i}"}],
+            schema=EVENT_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(log_dir)
+
+    cfg = StreamConfig(num_buckets=4, max_files_per_trigger=1,
+                       merge_mode="mor", mor_max_deltas=3)
+    q = stream_tail(
+        spark, log_dir, str(tmp_path / "table"), str(tmp_path / "state"),
+        str(tmp_path / "ckpt"), config=cfg,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    table = ParquetMergeTable(spark, str(tmp_path / "table"))
+    m = table._load()
+    chains = {b: len(_versions_of(v)) for b, v in m["buckets"].items()}
+    assert max(chains.values()) <= cfg.mor_max_deltas + 1  # folded under governor
+    got = {r["path"]: r["content"] for r in table.read().collect()}
+    assert got == {"p0": "v9", "p1": "v10", "p2": "v11"}
