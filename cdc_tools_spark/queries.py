@@ -347,6 +347,37 @@ def q_cdc_typed_payload_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: full-load keyset pagination — one key-ordered page strictly
+    after a data-derived cursor (the 100th key), via the composite tuple
+    inequality the reference's resumable full load uses
+    (FullLoadRepository.cs:68-110, TableSchemaQueryBuilder.cs:40-57).
+    The predicate is plain key-column comparisons (pushed to the scan);
+    ORDER BY + LIMIT plans as TakeOrderedAndProject, never a global sort."""
+    from cdc_tools_spark.operators.keyset import keyset_page
+
+    compacted = compact_last_write_wins(changelog_from_events(spark, sf_dir))
+    final = compacted.where(F.col("change_type") != 1).select("repo", "path", "content")
+    cursor = final.orderBy("repo", "path").limit(100).collect()[-1]
+    return keyset_page(
+        final, ("repo", "path"), (cursor["repo"], cursor["path"]), page_size=500
+    )
+
+
+def q_cdc_csv_stage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 + K2/K3: staging documents with the reference's CSV cell rules
+    (pipe delimiter, dates yyyy-MM-dd, null -> empty; S3Uploader.cs:79-107)
+    over the TYPED changelog, so decimal/date/timestamp formatting is
+    exercised; DELETE keys go to the delete doc as key-only lines."""
+    from cdc_tools_spark.functions.csv_format import stage_documents
+    from cdc_tools_spark.sources.binlog import typed_changelog_from_events
+
+    compacted = compact_last_write_wins(typed_changelog_from_events(spark, sf_dir))
+    return stage_documents(
+        compacted, ("repo", "path"), ("amount", "event_date", "event_ts", "content")
+    )
+
+
 def q_cdc_sha256_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P10: the vectorized pandas-UDF sha256 versus the oracle's digest on
     every compacted row — proves the Python boundary is Arrow-batched and
@@ -501,6 +532,40 @@ ranked AS (
 SELECT repo, path, CAST(amount AS DOUBLE) AS amount, event_date, event_ts, content
 FROM ranked WHERE rn = 1 AND change_type <> 1
 """,
+    # S6 twin: same page, cursor = 100th key via OFFSET scalar subquery;
+    # when the corpus has fewer than 100 keys both sides return 0 rows
+    # (empty cursor CTE here, last-key cursor in Spark).
+    "cdc_keyset_page": _COMPACTED_CTE
+    + """,
+final AS (SELECT repo, path, content FROM compacted WHERE change_type <> 1),
+cur AS (SELECT repo AS cr, path AS cp FROM final ORDER BY repo, path LIMIT 1 OFFSET 99)
+SELECT f.repo, f.path, f.content
+FROM final f, cur
+WHERE (f.repo > cr) OR (f.repo = cr AND f.path > cp)
+ORDER BY f.repo, f.path LIMIT 500
+""",
+    # P9 twin: identical cell rules in DuckDB string functions
+    "cdc_csv_stage_docs": "WITH tlog AS ("
+    + TYPED_CHANGELOG_SQL
+    + """),
+admitted AS (SELECT * FROM tlog WHERE change_type <> 3),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY repo, path ORDER BY lsn DESC, seqval DESC) AS rn
+  FROM admitted),
+compacted AS (SELECT * FROM ranked WHERE rn = 1)
+SELECT
+  CASE WHEN change_type = 1 THEN 'delete' ELSE 'upsert' END AS doc_type,
+  repo, path,
+  CASE WHEN change_type = 1 THEN repo || '|' || path
+       ELSE repo || '|' || path || '|' ||
+            COALESCE(CAST(amount AS VARCHAR), '') || '|' ||
+            COALESCE(strftime(event_date, '%Y-%m-%d'), '') || '|' ||
+            COALESCE(strftime(event_ts, '%Y-%m-%d %H:%M:%S'), '') || '|' ||
+            COALESCE(content, '')
+  END AS line
+FROM compacted
+""",
     # partitioner twin: first 8 md5 hex chars of the ChangeKey mod 8 (the
     # 32-bit routing domain — see bus.file_topic.partition_for_key); offsets
     # are dense per partition, so max_offset must equal count-1.
@@ -650,6 +715,8 @@ def queries() -> dict[str, QueryFn]:
         "cdc_publish_roundtrip": q_cdc_publish_roundtrip,
         "cdc_topic_partitions": q_cdc_topic_partitions,
         "cdc_typed_payload_replay": q_cdc_typed_payload_replay,
+        "cdc_keyset_page": q_cdc_keyset_page,
+        "cdc_csv_stage_docs": q_cdc_csv_stage_docs,
         "cdc_sha256_parity": q_cdc_sha256_parity,
         "pricing_summary": q_pricing_summary,
         "top_customer_revenue": q_top_customer_revenue,

@@ -84,3 +84,70 @@ def test_group_transactions(spark, person_df):
     assert txns[3]["n_deletes"] == 4
     assert txns[4]["n_changes"] == 2 and txns[4]["n_keys"] == 1
     assert txns[6]["n_deletes"] == 8
+
+
+def test_keyset_pagination_partitions_the_table(spark):
+    """S6 laws: consecutive pages are disjoint, ordered, and together cover
+    the table exactly; the cursor is the previous page's last key."""
+    from cdc_tools_spark.operators.keyset import keyset_page, keyset_predicate
+
+    rows = [(f"r{i % 5}", f"p{i:03d}", i) for i in range(57)]
+    df = spark.createDataFrame(rows, "repo string, path string, v long")
+
+    seen, cursor = [], None
+    while True:
+        page = keyset_page(df, ("repo", "path"), cursor, page_size=10).collect()
+        if not page:
+            break
+        keys = [(r["repo"], r["path"]) for r in page]
+        assert keys == sorted(keys)  # key-ordered within the page
+        assert len(page) <= 10
+        seen += keys
+        cursor = keys[-1]  # FullLoadBatch.LastRowKey resume semantics
+    assert seen == sorted({(r, p) for r, p, _ in rows})  # exact cover, no dups
+
+    import pytest
+
+    with pytest.raises(ValueError, match="arity"):
+        keyset_predicate(("a", "b"), ("only-one",))
+
+
+def test_csv_stage_docs_cell_rules(spark):
+    """P9 rules (S3Uploader.cs:88-100): pipe delimiter, yyyy-MM-dd dates,
+    second-truncated timestamps, null -> empty cell; DELETE rows become
+    key-only delete-doc lines."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from cdc_tools_spark.functions.csv_format import stage_documents
+
+    schema = T.StructType([
+        T.StructField("lsn", T.LongType()),
+        T.StructField("seqval", T.LongType()),
+        T.StructField("change_type", T.IntegerType()),
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("amount", T.DecimalType(12, 2), True),
+        T.StructField("d", T.DateType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("content", T.StringType(), True),
+    ])
+    import decimal
+
+    rows = [
+        (1, 0, 2, "r", "a", decimal.Decimal("12.30"), datetime.date(2024, 3, 1),
+         datetime.datetime(2024, 3, 1, 8, 4, 19, 234115), "hello"),
+        (1, 1, 2, "r", "b", None, None, None, None),  # nulls -> empty cells
+        (2, 0, 1, "r", "c", None, None, None, None),  # DELETE -> key-only line
+    ]
+    docs = {
+        (r["doc_type"], r["path"]): r["line"]
+        for r in stage_documents(
+            spark.createDataFrame(rows, schema),
+            ("repo", "path"), ("amount", "d", "ts", "content"),
+        ).collect()
+    }
+    assert docs[("upsert", "a")] == "r|a|12.30|2024-03-01|2024-03-01 08:04:19|hello"
+    assert docs[("upsert", "b")] == "r|b||||"
+    assert docs[("delete", "c")] == "r|c"

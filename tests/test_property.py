@@ -147,3 +147,65 @@ def test_mor_converges_under_any_epoch_order(spark, tmp_path_factory, raw, order
                     collect_metrics=False)
     got = {(r["repo"], r["path"]): r["content"] for r in table.read().collect()}
     assert got == {k: v["content"] for k, v in oracle.items()}
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(raw=_events, order=st.randoms(), mode=st.sampled_from(["cow", "mor"]))
+def test_merges_interleaved_with_incremental_rescale_match_oracle(
+    spark, tmp_path_factory, raw, order, mode
+):
+    """Fuzz the incremental-rescale invariant: begin_rescale at a random
+    epoch, random bounded rescale_steps between merges — the table must
+    read correctly (vs the pandas prefix oracle) at EVERY intermediate
+    state, and converge to the full oracle once the split completes."""
+    from cdc_tools_spark.lake.parquet_merge import ParquetMergeTable as PMT
+
+    rows = _to_rows(raw)
+    log = spark.createDataFrame(rows, schema=EVENT_SCHEMA)
+    work = tmp_path_factory.mktemp(f"prop_rescale_{mode}")
+
+    from pyspark.sql import types as T2
+
+    payload = T2.StructType(
+        [f for f in log.schema.fields if f.name not in ("lsn", "seqval", "change_type")]
+    )
+    PMT.create(
+        spark, str(work / "t"), payload, num_buckets=2,
+        order_cols=("lsn", "seqval") if mode == "mor" else None, merge_mode=mode,
+    )
+    table = PMT(spark, str(work / "t"))
+
+    import pyspark.sql.functions as F2
+
+    max_lsn = max(r["lsn"] for r in rows)
+    slices = [(lo, min(lo + 2, max_lsn)) for lo in range(0, max_lsn + 1, 3)]
+    begin_at = order.randint(0, len(slices) - 1)
+
+    for eid, (lo, hi) in enumerate(slices):
+        if eid == begin_at:
+            table.begin_rescale(8)
+        table.merge(
+            log.where((F2.col("lsn") >= lo) & (F2.col("lsn") <= hi)), eid,
+            collect_metrics=False,
+        )
+        if order.random() < 0.5:
+            table.rescale_step(max_groups=1)
+        if mode == "mor" and order.random() < 0.3:
+            table.compact_table(max_deltas=1)
+        # reads must be correct at every intermediate split state
+        prefix = pandas_replay([r for r in rows if r["lsn"] <= hi])
+        got = {(r["repo"], r["path"]): r["content"] for r in table.read().collect()}
+        assert got == {k: v["content"] for k, v in prefix.items()}, (
+            f"mode={mode} epoch={eid} begin_at={begin_at}"
+        )
+
+    while table.rescale_step(max_groups=8):
+        pass
+    table.rescale_step()
+    got = {(r["repo"], r["path"]): r["content"] for r in table.read().collect()}
+    oracle = pandas_replay(rows)
+    assert got == {k: v["content"] for k, v in oracle.items()}
