@@ -151,3 +151,21 @@ def test_csv_stage_docs_cell_rules(spark):
     assert docs[("upsert", "a")] == "r|a|12.30|2024-03-01|2024-03-01 08:04:19|hello"
     assert docs[("upsert", "b")] == "r|b||||"
     assert docs[("delete", "c")] == "r|c"
+
+
+def test_keyset_page_plans_as_take_ordered(spark, tmp_path):
+    """S6 plan gate: ORDER BY keys LIMIT n must plan as
+    TakeOrderedAndProject (per-partition top-n + bounded driver merge) —
+    never a global Sort."""
+    from cdc_tools_spark.operators.keyset import keyset_page
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(f"r{i % 5}", f"p{i}", i) for i in range(100)],
+        "repo string, path string, v long",
+    ).write.parquet(p)
+    page = keyset_page(spark.read.parquet(p), ("repo", "path"),
+                       after=("r1", "p0"), page_size=10)
+    plan = page._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort

@@ -145,3 +145,20 @@ def test_commit_marker_create_if_absent(tmp_path):
     rec2 = EpochCommit("exec-1", "repo_files", 0, 0, 99)
     assert log.commit(rec2) is False
     assert log.last_committed().to_lsn == 10
+
+
+def test_manifest_pointer_loss_is_recoverable(spark, tmp_path):
+    """ADVICE r2: the old single-file manifest could be lost forever in the
+    delete+rename window. The chain layout survives losing the pointer hint
+    entirely — loads list the manifest directory, and the next commit
+    rewrites the pointer."""
+    root = str(tmp_path / "table")
+    t = ParquetMergeTable.create(spark, root, PAYLOAD, num_buckets=4)
+    t.merge(spark.createDataFrame(_events(1, "alpha", 10), EVENT_SCHEMA), 1)
+    fsio.delete(str(tmp_path / "table" / "manifest.json"))  # pointer gone
+    t2 = ParquetMergeTable(spark, root)  # fresh handle, no cached state
+    assert t2.exists() and t2._load()["version"] == 1
+    assert t2.read().count() == 10
+    t2.merge(spark.createDataFrame(_events(2, "beta", 5), EVENT_SCHEMA), 2)
+    assert t2.read().count() == 15
+    assert fsio.exists(str(tmp_path / "table" / "manifest.json"))  # rewritten
