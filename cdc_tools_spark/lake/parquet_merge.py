@@ -348,6 +348,24 @@ class ParquetMergeTable(LakeTable):
             self.spark.conf.set(conf_key, prev)
         return {int(r["bucket"]): int(r["cnt"]) for r in rows}
 
+    def _routed_write(self, with_bucket: DataFrame, m: dict, vdir: str) -> None:
+        """Route rows to their bucket directories: shuffle by bucket (the
+        write-parallelism knob — AQE coalesces), then optionally cluster
+        each bucket's files by the table's ``cluster_by`` columns.
+
+        Clustering is a ``sortWithinPartitions`` — an in-partition,
+        spill-aware sort with NO extra shuffle — and buys parquet row-group
+        min/max statistics that actually prune: an lsn-clustered table
+        answers ``lsn``-bounded scans (tombstone-GC candidate discovery,
+        watermark resumes, time-ranged audits) reading only the row groups
+        whose range overlaps, which at 100 TB is the difference between a
+        footer-sized scan and a table-sized one."""
+        out = with_bucket.repartition(F.col("bucket"))
+        cb = m.get("cluster_by")
+        if cb:
+            out = out.sortWithinPartitions("bucket", *cb)
+        out.write.mode("overwrite").partitionBy("bucket").parquet(vdir)
+
     def _new_data_dir(self, m: dict, version: int) -> tuple[str, str]:
         """Allocate a collision-free data directory for ``version`` and
         register it in the manifest's ``dirs`` map (committed only if this
@@ -409,6 +427,7 @@ class ParquetMergeTable(LakeTable):
         order_cols: Sequence[str] | None = None,
         retained_snapshots: int = 16,
         merge_mode: str = "cow",
+        cluster_by: Sequence[str] | None = None,
     ) -> "ParquetMergeTable":
         """``order_cols`` (e.g. ``("lsn", "seqval")``) switches the table to
         **newer-wins merges**: those columns are stored per row and a merge
@@ -452,6 +471,16 @@ class ParquetMergeTable(LakeTable):
             raise ValueError(f"unknown merge_mode: {merge_mode!r}")
         if merge_mode == "mor" and not order_cols:
             raise ValueError("merge_mode='mor' requires order_cols (newer-wins)")
+        if cluster_by:
+            # cluster_by (e.g. ("lsn",)) sorts each bucket's files on write
+            # (_routed_write) so row-group min/max stats prune range scans;
+            # must reference stored columns
+            missing = set(cluster_by) - {f.name for f in schema.fields}
+            if missing:
+                raise ValueError(
+                    f"cluster_by columns {sorted(missing)} not in the table "
+                    f"schema {[f.name for f in schema.fields]}"
+                )
         t = cls(spark, root, key_cols)
         t._store(
             {
@@ -462,6 +491,7 @@ class ParquetMergeTable(LakeTable):
                 "retained_snapshots": retained_snapshots,
                 "merge_mode": merge_mode,
                 "order_cols": list(order_cols) if order_cols else None,
+                "cluster_by": list(cluster_by) if cluster_by else None,
                 "schema": schema.json(),
                 "versions": {},
                 "buckets": {},
@@ -667,12 +697,8 @@ class ParquetMergeTable(LakeTable):
         keep = df.where(~F.col("_tombstone") | (F.col("lsn") >= below_lsn))
         version = m["version"] + 1
         _, vdir = self._new_data_dir(m, version)
-        (
-            keep.withColumn("bucket", self._bucket_expr(m["num_buckets"]))
-            .repartition(F.col("bucket"))
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(vdir)
+        self._routed_write(
+            keep.withColumn("bucket", self._bucket_expr(m["num_buckets"])), m, vdir
         )
         written = {
             int(d.split("=", 1)[1])
@@ -751,12 +777,8 @@ class ParquetMergeTable(LakeTable):
 
         version = m["version"] + 1
         _, vdir = self._new_data_dir(m, version)
-        (
-            delta.withColumn("bucket", self._bucket_expr(m["num_buckets"]))
-            .repartition(F.col("bucket"))
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(vdir)
+        self._routed_write(
+            delta.withColumn("bucket", self._bucket_expr(m["num_buckets"])), m, vdir
         )
         written = {
             int(d.split("=", 1)[1])
@@ -835,12 +857,8 @@ class ParquetMergeTable(LakeTable):
         df = self._current_rows(m, schema, buckets=over)
         version = m["version"] + 1
         _, vdir = self._new_data_dir(m, version)
-        (
-            df.withColumn("bucket", self._bucket_expr(m["num_buckets"]))
-            .repartition(F.col("bucket"))
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(vdir)
+        self._routed_write(
+            df.withColumn("bucket", self._bucket_expr(m["num_buckets"])), m, vdir
         )
         written = {
             int(d.split("=", 1)[1])
@@ -940,12 +958,8 @@ class ParquetMergeTable(LakeTable):
         df = self._current_rows(m, schema, buckets=targets)
         version = m["version"] + 1
         _, vdir = self._new_data_dir(m, version)
-        (
-            df.withColumn("bucket", self._bucket_expr(m["num_buckets"]))
-            .repartition(F.col("bucket"))
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(vdir)
+        self._routed_write(
+            df.withColumn("bucket", self._bucket_expr(m["num_buckets"])), m, vdir
         )
         written = {
             int(d.split("=", 1)[1])
@@ -985,12 +999,8 @@ class ParquetMergeTable(LakeTable):
         df = self._current_rows(m, schema)
         version = m["version"] + 1
         _, vdir = self._new_data_dir(m, version)
-        (
-            df.withColumn("bucket", self._bucket_expr(new_num_buckets))
-            .repartition(F.col("bucket"))
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(vdir)
+        self._routed_write(
+            df.withColumn("bucket", self._bucket_expr(new_num_buckets)), m, vdir
         )
         written = {
             int(d.split("=", 1)[1])
@@ -1185,14 +1195,7 @@ class ParquetMergeTable(LakeTable):
         obs_lin = Observation(f"merge-lin-{epoch_id}-{m['version']}")
         if observe_lineage:
             out = out.observe(obs_lin, *_lineage_exprs())
-        # Route each bucket's rows into its own directory; the shuffle on
-        # bucket is also the write-parallelism knob (AQE coalesces).
-        (
-            out.repartition(F.col("bucket"))
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(vdir)
-        )
+        self._routed_write(out, m, vdir)
         stats = _obs_get(obs, winners, _merge_metric_exprs())
         n_deletes = int(stats["dels"] or 0)
         # upserts applied = winners that came from this batch and are not

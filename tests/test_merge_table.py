@@ -297,3 +297,53 @@ def test_cow_metrics_add_no_spark_jobs(spark, tmp_path):
 
     assert r.raw_events == 40 and sum(r.partition_lineage.values()) == 40
     assert jobs_on == jobs_off
+
+
+def test_cluster_by_sorts_files_and_preserves_semantics(spark, tmp_path):
+    """Clustered writes: cluster_by=("lsn",) physically sorts each bucket's
+    files so row-group min/max statistics prune lsn-bounded scans; results
+    are identical to an unclustered table."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    import pyspark.sql.functions as F
+
+    rows = []
+    for lsn in range(40):
+        rows.append(_row(lsn, 2, "r", f"p{lsn % 10}", f"v{lsn}"))
+    batch = _batch(spark, rows)
+
+    plain = ParquetMergeTable.create(
+        spark, str(tmp_path / "plain"), PAYLOAD, num_buckets=2,
+        order_cols=("lsn", "seqval"),
+    )
+    clustered = ParquetMergeTable.create(
+        spark, str(tmp_path / "clus"), PAYLOAD, num_buckets=2,
+        order_cols=("lsn", "seqval"), cluster_by=("lsn",),
+    )
+    plain.merge(batch, 0)
+    clustered.merge(batch, 0)
+    key = lambda t: sorted(map(tuple, t.read().select("repo", "path", "content").collect()))
+    assert key(clustered) == key(plain)
+
+    # every data file of the clustered table is lsn-sorted (what makes the
+    # parquet row-group stats tight)
+    checked = 0
+    for dirpath, _, files in os.walk(str(tmp_path / "clus")):
+        for f in files:
+            if f.endswith(".parquet") and "bucket=" in dirpath:
+                lsns = pq.read_table(os.path.join(dirpath, f), columns=["lsn"])
+                vals = lsns.column("lsn").to_pylist()
+                assert vals == sorted(vals), f"unsorted file {f}"
+                checked += 1
+    assert checked > 0
+
+    # schema validation: unknown cluster column is an explicit error
+    import pytest
+
+    with pytest.raises(ValueError, match="cluster_by"):
+        ParquetMergeTable.create(
+            spark, str(tmp_path / "bad"), PAYLOAD, num_buckets=2,
+            cluster_by=("nope",),
+        )
