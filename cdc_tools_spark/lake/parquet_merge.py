@@ -364,7 +364,15 @@ class ParquetMergeTable(LakeTable):
         cb = m.get("cluster_by")
         if cb:
             out = out.sortWithinPartitions("bucket", *cb)
-        out.write.mode("overwrite").partitionBy("bucket").parquet(vdir)
+        w = out.write.mode("overwrite")
+        # parquet bloom filters on the configured columns (typically the
+        # primary-key columns): point lookups and MERGE key probes skip row
+        # groups whose filter rules the key out — cheap insurance at 100 TB
+        # where a key lookup would otherwise scan every row group of its
+        # bucket. Pure write-option plumbing; readers benefit transparently.
+        for c in m.get("bloom_filter_cols") or []:
+            w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        w.partitionBy("bucket").parquet(vdir)
 
     def _new_data_dir(self, m: dict, version: int) -> tuple[str, str]:
         """Allocate a collision-free data directory for ``version`` and
@@ -428,6 +436,7 @@ class ParquetMergeTable(LakeTable):
         retained_snapshots: int = 16,
         merge_mode: str = "cow",
         cluster_by: Sequence[str] | None = None,
+        bloom_filter_cols: Sequence[str] | None = None,
     ) -> "ParquetMergeTable":
         """``order_cols`` (e.g. ``("lsn", "seqval")``) switches the table to
         **newer-wins merges**: those columns are stored per row and a merge
@@ -471,14 +480,16 @@ class ParquetMergeTable(LakeTable):
             raise ValueError(f"unknown merge_mode: {merge_mode!r}")
         if merge_mode == "mor" and not order_cols:
             raise ValueError("merge_mode='mor' requires order_cols (newer-wins)")
-        if cluster_by:
-            # cluster_by (e.g. ("lsn",)) sorts each bucket's files on write
-            # (_routed_write) so row-group min/max stats prune range scans;
-            # must reference stored columns
-            missing = set(cluster_by) - {f.name for f in schema.fields}
+        for opt_name, cols in (("cluster_by", cluster_by),
+                               ("bloom_filter_cols", bloom_filter_cols)):
+            # both options reference stored columns: cluster_by sorts each
+            # bucket's files on write (row-group min/max pruning for range
+            # scans), bloom_filter_cols writes parquet bloom filters (row-
+            # group skipping for key point lookups)
+            missing = set(cols or ()) - {f.name for f in schema.fields}
             if missing:
                 raise ValueError(
-                    f"cluster_by columns {sorted(missing)} not in the table "
+                    f"{opt_name} columns {sorted(missing)} not in the table "
                     f"schema {[f.name for f in schema.fields]}"
                 )
         t = cls(spark, root, key_cols)
@@ -492,6 +503,7 @@ class ParquetMergeTable(LakeTable):
                 "merge_mode": merge_mode,
                 "order_cols": list(order_cols) if order_cols else None,
                 "cluster_by": list(cluster_by) if cluster_by else None,
+                "bloom_filter_cols": list(bloom_filter_cols) if bloom_filter_cols else None,
                 "schema": schema.json(),
                 "versions": {},
                 "buckets": {},

@@ -347,3 +347,39 @@ def test_cluster_by_sorts_files_and_preserves_semantics(spark, tmp_path):
             spark, str(tmp_path / "bad"), PAYLOAD, num_buckets=2,
             cluster_by=("nope",),
         )
+
+
+def test_bloom_filter_cols_write_filters(spark, tmp_path):
+    """bloom_filter_cols plumbs parquet bloom filters into every table
+    write: same data, same results, measurably larger files (the filter
+    bytes), so key point lookups can skip row groups at scale."""
+    import os
+
+    rows = [_row(i, 2, "r", f"p{i}", f"v{i}") for i in range(2000)]
+    batch = _batch(spark, rows)
+
+    def total_bytes(root):
+        n = 0
+        for dirpath, _, files in os.walk(root):
+            if "bucket=" in dirpath:
+                n += sum(os.path.getsize(os.path.join(dirpath, f))
+                         for f in files if f.endswith(".parquet"))
+        return n
+
+    plain = ParquetMergeTable.create(spark, str(tmp_path / "plain"), PAYLOAD,
+                                     num_buckets=2)
+    bloomed = ParquetMergeTable.create(
+        spark, str(tmp_path / "bloom"), PAYLOAD, num_buckets=2,
+        bloom_filter_cols=("repo", "path"),
+    )
+    plain.merge(batch, 0)
+    bloomed.merge(batch, 0)
+    key = lambda t: sorted(map(tuple, t.read().select("repo", "path", "content").collect()))
+    assert key(bloomed) == key(plain)
+    assert total_bytes(str(tmp_path / "bloom")) > total_bytes(str(tmp_path / "plain"))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="bloom_filter_cols"):
+        ParquetMergeTable.create(spark, str(tmp_path / "bad"), PAYLOAD,
+                                 num_buckets=2, bloom_filter_cols=("nope",))
