@@ -162,3 +162,74 @@ def test_manifest_pointer_loss_is_recoverable(spark, tmp_path):
     t2.merge(spark.createDataFrame(_events(2, "beta", 5), EVENT_SCHEMA), 2)
     assert t2.read().count() == 15
     assert fsio.exists(str(tmp_path / "table" / "manifest.json"))  # rewritten
+
+
+def test_two_driver_contention_mor_deltas(spark, tmp_path):
+    """Same race on a merge-on-read table: both drivers' delta appends land
+    (the loser retries its O(batch) append), newer-wins read-time
+    compaction stays correct."""
+    root = str(tmp_path / "table")
+    ParquetMergeTable.create(
+        spark, root, PAYLOAD, num_buckets=4,
+        order_cols=("lsn", "seqval"), merge_mode="mor",
+    )
+    errors: list[Exception] = []
+    barrier = threading.Barrier(2)
+
+    def driver(repo: str, epoch: int) -> None:
+        try:
+            table = ParquetMergeTable(spark, root)
+            batch = spark.createDataFrame(_events(epoch, repo, 30), EVENT_SCHEMA)
+            barrier.wait()
+            for _ in range(5):
+                try:
+                    table.merge(batch, epoch_id=epoch)
+                    return
+                except CommitConflictError:
+                    continue
+            raise AssertionError(f"driver {repo} never won a commit")
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    ts = [threading.Thread(target=driver, args=(r, e))
+          for r, e in (("alpha", 1), ("beta", 2))]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert errors == []
+    t = ParquetMergeTable(spark, root)
+    rows = t.read().groupBy("repo").count().collect()
+    assert {r["repo"]: r["count"] for r in rows} == {"alpha": 30, "beta": 30}
+
+
+def test_reader_sees_only_committed_snapshots_during_writes(spark, tmp_path):
+    """Snapshot isolation under a live writer: every concurrent read
+    returns exactly one committed epoch's state (row multiples of a full
+    batch), never a torn mixture — immutable manifests + retained version
+    dirs make reads repeatable without locks."""
+    root = str(tmp_path / "table")
+    ParquetMergeTable.create(spark, root, PAYLOAD, num_buckets=4)
+    stop = threading.Event()
+    counts: list[int] = []
+    errors: list[Exception] = []
+
+    def reader() -> None:
+        try:
+            table = ParquetMergeTable(spark, root)
+            while not stop.is_set():
+                counts.append(table.read().count())
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    r = threading.Thread(target=reader)
+    r.start()
+    writer = ParquetMergeTable(spark, root)
+    for epoch in range(1, 5):  # 4 commits of 25 fresh keys each
+        writer.merge(
+            spark.createDataFrame(_events(epoch, f"repo{epoch}", 25), EVENT_SCHEMA),
+            epoch_id=epoch,
+        )
+    stop.set()
+    r.join()
+    assert errors == []
+    assert counts, "reader never completed a read"
+    assert set(counts) <= {0, 25, 50, 75, 100}  # only whole committed states
