@@ -113,6 +113,22 @@ class FileTopic:
             out[int(r["partition"])] = int(r["mx"]) + 1
         return out
 
+    def _repair_stale_metadata(self) -> dict[int, int]:
+        """Producer-side repair of a crashed append: rebuild ``_offsets.json``
+        from the authoritative scan, then clear the intent marker. ONLY the
+        producer path may call this — the marker belongs to the (single)
+        producer, and a reader deleting it mid-append would reopen the exact
+        crash window the marker closes (ADVICE r3: a concurrent
+        ``end_offsets`` reader must never mutate topic metadata)."""
+        from cdc_tools_spark.lake import fsio
+
+        out = self._scan_end_offsets()
+        fsio.write_json_atomic(
+            self._meta_path, {str(p): v for p, v in out.items()}, indent=None
+        )
+        fsio.delete(self._intent_path)
+        return out
+
     def end_offsets(self) -> dict[int, int]:
         """Next offset per partition (0 for empty/new partitions).
 
@@ -121,22 +137,18 @@ class FileTopic:
         single leader/producer, so the atomic swap is race-free for the
         supported single-writer case).
 
-        Crash safety (ADVICE r2): :meth:`append` brackets the
-        data-then-metadata pair with an intent marker; if the marker is
-        present the metadata may be stale (a crash landed between the
-        parquet commit and the offsets swap), so this falls back to the
-        authoritative scan, repairs the metadata, and clears the marker —
-        stale metadata can never assign a duplicate ``(partition, offset)``.
-        Topics written before the metadata existed also take the scan."""
+        Crash safety (ADVICE r2/r3): :meth:`append` brackets the
+        data-then-metadata pair with an intent marker; while the marker is
+        present the metadata may be stale (an append is in flight, or a
+        crash landed between the parquet commit and the offsets swap), so
+        this falls back to the authoritative scan — WITHOUT touching
+        ``_offsets.json`` or the marker, which belong to the producer
+        (:meth:`_repair_stale_metadata` runs at the next append). Topics
+        written before the metadata existed also take the scan."""
         from cdc_tools_spark.lake import fsio
 
         if fsio.exists(self._intent_path):
-            out = self._scan_end_offsets()
-            fsio.write_json_atomic(
-                self._meta_path, {str(p): v for p, v in out.items()}, indent=None
-            )
-            fsio.delete(self._intent_path)
-            return out
+            return self._scan_end_offsets()
         if fsio.exists(self._meta_path):
             meta = fsio.read_json(self._meta_path)
             out = {p: 0 for p in range(self.n_partitions)}
@@ -154,7 +166,14 @@ class FileTopic:
         The offset window is per-partition — at n_partitions comparable to
         the shuffle width this is the same parallelism Kafka itself gives a
         topic; it never globally sorts the batch."""
-        ends = self.end_offsets()
+        from cdc_tools_spark.lake import fsio as _fsio
+
+        # a marker left by a crashed prior append is repaired HERE (the
+        # producer owns the marker); readers only ever scan around it
+        if _fsio.exists(self._intent_path):
+            ends = self._repair_stale_metadata()
+        else:
+            ends = self.end_offsets()
         base = F.create_map(
             *[F.lit(x) for kv in ends.items() for x in kv]
         )

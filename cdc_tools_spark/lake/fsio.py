@@ -33,6 +33,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import uuid
 from urllib.parse import urlparse
 
 from pyspark.sql import SparkSession
@@ -93,7 +94,9 @@ def write_text_atomic(path: str, text: str) -> None:
     jvm, fs, p = _fs(path)
     parent = p.getParent()
     fs.mkdirs(parent)
-    tmp = jvm.org.apache.hadoop.fs.Path(parent, f".tmp-{os.getpid()}-{abs(hash(text)) % 10**9}.swp")
+    # uuid4 staging name: two threads swapping identical content under one
+    # parent must never share (and overwrite) a staging file (ADVICE r3)
+    tmp = jvm.org.apache.hadoop.fs.Path(parent, f".tmp-{os.getpid()}-{uuid.uuid4().hex}.swp")
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(text.encode("utf-8")))
@@ -137,8 +140,13 @@ def create_exclusive(path: str, text: str) -> bool:
     jvm, fs, p = _fs(path)
     parent = p.getParent()
     fs.mkdirs(parent)
+    # uuid4, NOT hash(text): two threads CAS-ing identical content (e.g. a
+    # retried commit of the same manifest) would collide on a content-hash
+    # name and the second create(tmp, True) would overwrite the first's
+    # staging file mid-write — the winning rename could then commit torn
+    # content (ADVICE r3)
     tmp = jvm.org.apache.hadoop.fs.Path(
-        parent, f".cas-{os.getpid()}-{abs(hash(text)) % 10**9}.swp"
+        parent, f".cas-{os.getpid()}-{uuid.uuid4().hex}.swp"
     )
     out = fs.create(tmp, True)
     try:
@@ -165,6 +173,21 @@ def listdir(path: str) -> list[str]:
     if not fs.exists(p):
         return []
     return [st.getPath().getName() for st in fs.listStatus(p)]
+
+
+def mtime(path: str) -> float:
+    """Modification time (epoch seconds); 0.0 if the path doesn't exist.
+    Used for age-based grace windows (vacuum sparing in-flight write
+    directories), so a missing path reads as 'infinitely old'."""
+    if _is_local(path):
+        try:
+            return os.path.getmtime(path)
+        except OSError:
+            return 0.0
+    _, fs, p = _fs(path)
+    if not fs.exists(p):
+        return 0.0
+    return fs.getFileStatus(p).getModificationTime() / 1000.0
 
 
 def delete(path: str, recursive: bool = True) -> None:

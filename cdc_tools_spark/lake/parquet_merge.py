@@ -43,8 +43,10 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import uuid
 from collections.abc import Sequence
+from urllib.parse import urlparse
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -56,6 +58,10 @@ from cdc_tools_spark.lake.fsio import CommitConflictError  # re-export
 from cdc_tools_spark.sources.binlog import DELETE
 
 META_COLS = ("lsn", "seqval", "change_type")
+
+# serializes the aggregatePushdown set/restore window of remote-path footer
+# reads: session conf is process-shared state (VERDICT r3 #8)
+_FOOTER_CONF_LOCK = threading.Lock()
 
 _WIDEN_CHAIN = {
     "byte": 1,
@@ -274,15 +280,28 @@ class ParquetMergeTable(LakeTable):
 
     def _load(self) -> dict:
         """Current snapshot = the highest manifest in the (bounded) chain —
-        one directory listing + one read; readers never trust the pointer."""
-        seq = self._latest_seq()
-        if seq is None:
-            m = fsio.read_json(self._pointer_path)  # legacy single-file layout
-            m.setdefault("commit_seq", -1)  # first CAS commit writes seq 0
+        one directory listing + one read; readers never trust the pointer.
+
+        The list→read pair races with _store's best-effort manifest GC: a
+        reader that pauses between the two while ≥ retention-window commits
+        land can find its listed head deleted. Re-list and retry (bounded)
+        — the new head is always newer, so progress is guaranteed
+        (ADVICE r3)."""
+        last_err: Exception | None = None
+        for _ in range(5):
+            seq = self._latest_seq()
+            if seq is None:
+                m = fsio.read_json(self._pointer_path)  # legacy single-file layout
+                m.setdefault("commit_seq", -1)  # first CAS commit writes seq 0
+                return m
+            try:
+                m = fsio.read_json(self._mpath(seq))
+            except Exception as e:  # head GC'd between list and read
+                last_err = e
+                continue
+            m["commit_seq"] = seq
             return m
-        m = fsio.read_json(self._mpath(seq))
-        m["commit_seq"] = seq
-        return m
+        raise last_err  # 5 consecutive head losses: something else is wrong
 
     def _store(self, manifest: dict) -> None:
         """Commit the next manifest: exclusive create of seq+1 (CAS on the
@@ -313,39 +332,60 @@ class ParquetMergeTable(LakeTable):
 
     def _lineage_from_footers(self, vdir: str, schema: T.StructType) -> dict[int, int]:
         """Per-bucket row counts of a just-written directory from parquet
-        FOOTER metadata only: ``spark.sql.parquet.aggregatePushdown`` lets
-        COUNT grouped by the partition column be answered from row-group
-        statistics — no data pages are read. Used where per-bucket counters
-        can't ride the write job itself (MOR deltas, whose touched-bucket
-        set is unknown pre-write; COW merges wider than
-        LINEAGE_OBSERVE_CAP)."""
+        FOOTER metadata only — no data pages are read. Used where per-bucket
+        counters can't ride the write job itself (MOR deltas, whose
+        touched-bucket set is unknown pre-write; COW merges wider than
+        LINEAGE_OBSERVE_CAP).
+
+        Local paths: pyarrow reads each file's footer ``num_rows`` on the
+        driver — zero Spark jobs, zero session-conf mutation. Remote paths:
+        ``spark.sql.parquet.aggregatePushdown`` answers the grouped COUNT
+        from row-group statistics; the set/restore window is serialized by
+        a process-wide lock so two concurrent merges in one session can't
+        interleave it (VERDICT r3 #8: session conf is shared state)."""
+        if not fsio.exists(vdir):
+            return {}
+        if not urlparse(vdir).scheme:
+            import pyarrow.parquet as pq
+
+            out: dict[int, int] = {}
+            for bdir in fsio.listdir(vdir):
+                if not bdir.startswith("bucket="):
+                    continue
+                b = int(bdir.split("=", 1)[1])
+                full = os.path.join(vdir, bdir)
+                out[b] = sum(
+                    pq.read_metadata(os.path.join(full, f)).num_rows
+                    for f in fsio.listdir(full)
+                    if f.endswith(".parquet")
+                )
+            return out
         with_bucket = T.StructType(
             list(schema.fields) + [T.StructField("bucket", T.IntegerType(), True)]
         )
+
+        def _count():
+            return (
+                self.spark.read.schema(with_bucket)
+                .parquet(vdir)
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            )
+
         conf_key = "spark.sql.parquet.aggregatePushdown"
-        prev = self.spark.conf.get(conf_key, "false")
-        self.spark.conf.set(conf_key, "true")
-        try:
-            rows = (
-                self.spark.read.schema(with_bucket)
-                .parquet(vdir)
-                .groupBy("bucket")
-                .agg(F.count(F.lit(1)).alias("cnt"))
-                .collect()
-            )
-        except Exception:
-            # pushdown raises when any footer lacks statistics — degrade to
-            # the plain (data-reading) count rather than losing lineage
-            self.spark.conf.set(conf_key, "false")
-            rows = (
-                self.spark.read.schema(with_bucket)
-                .parquet(vdir)
-                .groupBy("bucket")
-                .agg(F.count(F.lit(1)).alias("cnt"))
-                .collect()
-            )
-        finally:
-            self.spark.conf.set(conf_key, prev)
+        with _FOOTER_CONF_LOCK:
+            prev = self.spark.conf.get(conf_key, "false")
+            self.spark.conf.set(conf_key, "true")
+            try:
+                rows = _count()
+            except Exception:
+                # pushdown raises when any footer lacks statistics — degrade
+                # to the plain (data-reading) count rather than losing lineage
+                self.spark.conf.set(conf_key, "false")
+                rows = _count()
+            finally:
+                self.spark.conf.set(conf_key, prev)
         return {int(r["bucket"]): int(r["cnt"]) for r in rows}
 
     def _routed_write(self, with_bucket: DataFrame, m: dict, vdir: str) -> None:
@@ -630,7 +670,9 @@ class ParquetMergeTable(LakeTable):
         return df
 
     # -- maintenance ---------------------------------------------------------
-    def vacuum(self, keep_versions: int | None = None) -> list[int]:
+    def vacuum(
+        self, keep_versions: int | None = None, grace_seconds: float = 300.0
+    ) -> list[int]:
         """Delete version directories referenced by no retained snapshot,
         keeping the ``keep_versions`` most recent snapshots time-travelable
         (default: the table's ``retained_snapshots`` property). Returns the
@@ -644,7 +686,18 @@ class ParquetMergeTable(LakeTable):
         ``d{v}-{token}`` twins of a committed version) — those are garbage
         by construction; a directory whose version number exceeds the
         current manifest's belongs to an in-flight writer and is left
-        alone."""
+        alone.
+
+        ``grace_seconds`` additionally spares any unreferenced directory
+        modified within the window: a slow writer that loaded an older
+        manifest may still be writing a ``d{v}-{token}`` dir whose version
+        number another writer has since committed — deleting it mid-job
+        kills that writer with opaque task failures instead of the clean
+        ``CommitConflictError`` it will get at CAS time (ADVICE r3). Pass
+        0 to force-collect everything (safe only when no writer can be
+        in flight)."""
+        import time as _time
+
         m = self._load()
         if keep_versions is None:
             keep_versions = m.get("retained_snapshots", 16)
@@ -668,7 +721,10 @@ class ParquetMergeTable(LakeTable):
                 continue  # retained snapshot's own (possibly empty) version
             if v > m["version"]:
                 continue  # in-flight concurrent writer — not ours to judge
-            fsio.delete(os.path.join(self.root, name))
+            full = os.path.join(self.root, name)
+            if grace_seconds > 0 and _time.time() - fsio.mtime(full) < grace_seconds:
+                continue  # recently modified: possibly a still-writing CAS loser
+            fsio.delete(full)
             if name == _data_dirname(m, v):
                 m["versions"].pop(str(v), None)
                 if "dirs" in m:

@@ -358,7 +358,12 @@ def q_cdc_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     compacted = compact_last_write_wins(changelog_from_events(spark, sf_dir))
     final = compacted.where(F.col("change_type") != 1).select("repo", "path", "content")
-    cursor = final.orderBy("repo", "path").limit(100).collect()[-1]
+    cursor_rows = final.orderBy("repo", "path").limit(100).collect()
+    if not cursor_rows:
+        # empty corpus: the DuckDB twin's OFFSET-scalar-subquery yields 0
+        # rows — mirror that instead of crashing on collect()[-1] (ADVICE r3)
+        return final.limit(0)
+    cursor = cursor_rows[-1]
     return keyset_page(
         final, ("repo", "path"), (cursor["repo"], cursor["path"]), page_size=500
     )

@@ -421,11 +421,18 @@ def test_append_crash_between_data_and_metadata_is_repaired(spark, tmp_path):
     )
     fsio.write_json_atomic(topic._intent_path, {"pid": 0}, indent=None)
 
-    repaired = topic.end_offsets()  # scan fallback + metadata repair
-    assert not fsio.exists(topic._intent_path)
-    assert sum(repaired.values()) == 40
+    # a READER sees correct offsets via the scan fallback but must not
+    # mutate the producer's metadata or marker (ADVICE r3): mid-append the
+    # marker is load-bearing for the producer's own crash recovery
+    observed = topic.end_offsets()
+    assert sum(observed.values()) == 40
+    assert fsio.exists(topic._intent_path)  # untouched by the reader
+    assert fsio.read_json(topic._meta_path) == {
+        str(p): v for p, v in stale.items()
+    }
 
-    topic.append(msgs(40, 20))  # resumes from repaired offsets
+    topic.append(msgs(40, 20))  # producer repairs the marker, then resumes
+    assert not fsio.exists(topic._intent_path)
     per: dict[int, list[int]] = {}
     for r in topic.read().select("partition", "offset").collect():
         per.setdefault(r["partition"], []).append(r["offset"])

@@ -128,7 +128,7 @@ def test_conflict_loser_orphan_dir_is_vacuumed(spark, tmp_path):
     # fabricate a CAS loser's orphan twin of version 1 and an in-flight v2 dir
     fsio.mkdirs(str(tmp_path / "table" / "d1-deadbeef" / "bucket=0"))
     fsio.mkdirs(str(tmp_path / "table" / "d2-cafef00d" / "bucket=0"))
-    removed = t.vacuum(keep_versions=1)
+    removed = t.vacuum(keep_versions=1, grace_seconds=0)
     assert removed == [1]
     names = set(fsio.listdir(root))
     assert committed_dir in names

@@ -30,7 +30,7 @@ def test_vacuum_removes_dead_versions(spark, tmp_path):
             ),
             i,
         )
-    removed = table.vacuum(keep_versions=1)
+    removed = table.vacuum(keep_versions=1, grace_seconds=0)
     assert removed and all(v < 4 for v in removed)
     got = {r["path"]: r["content"] for r in table.read().collect()}
     assert got == {"a": "v3", "b": "v3"}
@@ -85,7 +85,7 @@ def test_vacuum_keeps_dirs_referenced_by_retained_snapshots(spark, tmp_path):
     table.merge(spark.createDataFrame([_row(1, 2, "b", "b0")], schema=SCHEMA), 1)  # v2
     table.merge(spark.createDataFrame([_row(2, 2, "c", "c0")], schema=SCHEMA), 2)  # v3
     # keep 2 snapshots: v3 and v2; v2's bucket map references v1 for "a"
-    removed = table.vacuum(keep_versions=2)
+    removed = table.vacuum(keep_versions=2, grace_seconds=0)
     assert 1 not in removed, "v1 is referenced by retained snapshot v2"
     v2 = {r["path"]: r["content"] for r in table.read_version(2).collect()}
     assert v2 == {"a": "a0", "b": "b0"}  # time travel to v2 fully intact

@@ -99,7 +99,7 @@ def test_mor_compact_table_folds_delta_chains(spark, tmp_path):
     # under the threshold -> no-op
     assert t.compact_table(max_deltas=8) == v
     # vacuum now reclaims the dead delta dirs; reads still correct
-    removed = t.vacuum(keep_versions=1)
+    removed = t.vacuum(keep_versions=1, grace_seconds=0)
     assert removed and _state(t) == {"a": "v11"}
 
 
