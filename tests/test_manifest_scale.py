@@ -1,0 +1,142 @@
+"""Manifest metadata must not scale with table width (VERDICT r3 #1).
+
+The r3 format serialized the FULL bucket→version map — for the live state
+AND every retained snapshot — into each commit's manifest JSON. At the
+module's own 100-TB sizing (suggest_num_buckets → 131072 buckets) that is
+~2M map entries per commit, written on the driver inside the CAS window.
+
+The v2 chain commits an O(touched-buckets) delta instead, checkpointing the
+fold every checkpoint_interval commits; snapshots carry a commit-seq (time
+travel refolds the chain) and a live-version set (vacuum) — never a bucket
+map. These tests pin that contract on a table at full 100-TB metadata
+width, plus the reconstruction paths the design leans on.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from cdc_tools_spark.lake import fsio
+from cdc_tools_spark.lake.parquet_merge import (
+    ParquetMergeTable,
+    suggest_num_buckets,
+)
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), True),
+        T.StructField("path", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+SCHEMA = (
+    "lsn long, seqval long, change_type int, repo string, path string, content string"
+)
+
+
+def _batch(spark, lsn, paths, content):
+    return spark.createDataFrame(
+        [
+            {"lsn": lsn, "seqval": i, "change_type": 2, "repo": "r", "path": p,
+             "content": content}
+            for i, p in enumerate(paths)
+        ],
+        schema=SCHEMA,
+    )
+
+
+def _head_manifest(t):
+    seq = t._latest_seq()
+    path = t._mpath(seq)
+    return seq, json.loads(fsio.read_text(path)), os.path.getsize(path)
+
+
+def test_commit_bytes_are_o_touched_at_100tb_bucket_width(spark, tmp_path):
+    """A fully-populated 131072-bucket table (suggest_num_buckets(100 TB))
+    where every small merge commits a delta of a few KB — per-commit
+    manifest bytes track the touched set, not the table width."""
+    n = suggest_num_buckets(100 * (1 << 40))
+    assert n == 131072
+    t = ParquetMergeTable.create(
+        spark, str(tmp_path / "t"), PAYLOAD, num_buckets=n, checkpoint_interval=8
+    )
+    # populate the full metadata width without 131072 data files: mark every
+    # bucket explicitly empty (-1) — exactly the map width a fully loaded
+    # table carries, with no data I/O
+    m = t._load()
+    m["buckets"] = {str(b): -1 for b in range(n)}
+    t._store(m)
+    seq, head, ckpt_bytes = _head_manifest(t)
+    assert head["kind"] == "checkpoint"  # table-width diff escalates
+    assert ckpt_bytes > 500_000  # the full map really is table-width
+
+    delta_sizes, ckpt_seqs = [], []
+    for i in range(12):
+        t.merge(_batch(spark, i, [f"p{i}-{j}" for j in range(50)], f"v{i}"), i)
+        seq, head, size = _head_manifest(t)
+        if head["kind"] == "delta":
+            delta_sizes.append(size)
+            assert len(head["buckets_set"]) <= 50
+        else:
+            ckpt_seqs.append(seq)
+    # deltas stay KB-sized on a 131072-bucket-wide table: >100x under the
+    # checkpoint, independent of how many commits have accumulated
+    assert delta_sizes and max(delta_sizes) < ckpt_bytes / 100
+    assert max(delta_sizes) < 16_000
+    # checkpoints appear on the interval cadence only
+    assert all(s % 8 == 0 for s in ckpt_seqs) and len(ckpt_seqs) >= 1
+
+    # the fold reads the table back correctly through checkpoint + deltas
+    got = {r["path"]: r["content"] for r in t.read().collect()}
+    assert len(got) == 12 * 50 and got["p11-0"] == "v11"
+
+
+def test_time_travel_reconstructs_snapshots_from_the_chain(spark, tmp_path):
+    """Snapshots store no bucket maps; read_version refolds the chain to
+    the snapshot's commit — across delta commits AND checkpoint boundaries."""
+    t = ParquetMergeTable.create(
+        spark, str(tmp_path / "t"), PAYLOAD, num_buckets=4, checkpoint_interval=3
+    )
+    for i in range(7):  # crosses two checkpoint boundaries (seq 3, 6)
+        t.merge(_batch(spark, i, ["a", f"p{i}"], f"v{i}"), i)
+    m = t._load()
+    assert all("buckets" not in e for e in m["versions"].values())
+    for v in (2, 4, 6):
+        snap = {r["path"]: r["content"] for r in t.read_version(v).collect()}
+        assert snap["a"] == f"v{v - 1}"
+        assert set(snap) == {"a"} | {f"p{i}" for i in range(v)}
+
+
+def test_manifest_gc_keeps_only_what_retained_snapshots_need(spark, tmp_path):
+    """The chain floor = the oldest checkpoint any retained snapshot folds
+    from; manifests below it are GC'd, listing stays bounded."""
+    t = ParquetMergeTable.create(
+        spark, str(tmp_path / "t"), PAYLOAD, num_buckets=4,
+        checkpoint_interval=4, retained_snapshots=3,
+    )
+    for i in range(30):
+        t.merge(_batch(spark, i, [f"p{i % 5}"], f"v{i}"), i)
+    names = [x for x in fsio.listdir(t._manifest_dir) if t._mseq(x) is not None]
+    # 3 retained snapshots × interval 4 → floor within ~2 intervals of head
+    assert len(names) <= 12
+    # everything retained is still readable
+    m = t._load()
+    for v in sorted(int(x) for x in m["versions"])[:3]:
+        assert t.read_version(v).count() >= 1
+
+
+def test_concurrent_delta_commits_still_cas_conflict(spark, tmp_path):
+    """Two writers diffing against the same base collide on the same seq
+    file — the delta format must not weaken the CAS."""
+    t = ParquetMergeTable.create(spark, str(tmp_path / "t"), PAYLOAD, num_buckets=4)
+    t.merge(_batch(spark, 0, ["a"], "v0"), 0)
+    m_a, m_b = t._load(), t._load()
+    m_a["version"] = 2
+    m_b["version"] = 2
+    t._store(m_a)
+    with pytest.raises(Exception):
+        t._store(m_b)
+    assert t._load()["version"] == 2
