@@ -140,3 +140,86 @@ def test_concurrent_delta_commits_still_cas_conflict(spark, tmp_path):
     with pytest.raises(Exception):
         t._store(m_b)
     assert t._load()["version"] == 2
+
+
+def _obatch(spark, lsn, rows):
+    """rows: list of (change_type, path)."""
+    return spark.createDataFrame(
+        [
+            {"lsn": lsn, "seqval": i, "change_type": ct, "repo": "r", "path": p,
+             "content": f"c{lsn}"}
+            for i, (ct, p) in enumerate(rows)
+        ],
+        schema=SCHEMA,
+    )
+
+
+def test_tombstone_gc_is_manifest_driven_and_touches_only_flagged_buckets(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r3 #2 'Done' criterion: on a 64-bucket table with tombstones
+    in a couple of buckets, expire_tombstones must launch a job touching
+    ONLY those buckets' files — candidate discovery comes from the
+    manifest's per-bucket stats, with no full-table scan."""
+    t = ParquetMergeTable.create(
+        spark, str(tmp_path / "t"), PAYLOAD, num_buckets=64,
+        order_cols=("lsn", "seqval"),
+    )
+    # spread 120 upserts across ~64 buckets, then delete exactly 2 keys
+    t.merge(_obatch(spark, 1, [(2, f"p{i}") for i in range(120)]), 0)
+    t.merge(_obatch(spark, 5, [(1, "p3"), (1, "p77")]), 1)
+
+    m = t._load()
+    tomb_buckets = {int(b) for b in m.get("bstats", {})}
+    assert 1 <= len(tomb_buckets) <= 2  # the delete keys' buckets only
+    assert all(s == [1, 5] or s[1] == 5 for s in m["bstats"].values())
+
+    reads = []
+    orig = ParquetMergeTable._read_dirs
+
+    def spy(self, dirs, schema):
+        reads.append(list(dirs))
+        return orig(self, dirs, schema)
+
+    monkeypatch.setattr(ParquetMergeTable, "_read_dirs", spy)
+    v = t.expire_tombstones(below_lsn=100, epoch_id=9)
+    assert v == 3
+    # exactly one read — the rewrite of the flagged buckets; no discovery scan
+    assert len(reads) == 1
+    got_buckets = {int(d.rsplit("bucket=", 1)[1]) for d in reads[0]}
+    assert got_buckets == tomb_buckets
+    # stats drained; data intact minus the deleted keys
+    m2 = t._load()
+    assert m2.get("bstats", {}) == {}
+    paths = {r["path"] for r in t.read().collect()}
+    assert "p3" not in paths and "p77" not in paths and len(paths) == 118
+    # idempotent no-op afterwards: nothing flagged, no version bump
+    assert t.expire_tombstones(below_lsn=100, epoch_id=10) == 3
+
+
+def test_mor_tombstone_stats_combine_and_reset(spark, tmp_path):
+    """MOR appends combine delta stats as running upper bounds;
+    compact_table resets them to exact; expire uses them for discovery."""
+    t = ParquetMergeTable.create(
+        spark, str(tmp_path / "t"), PAYLOAD, num_buckets=4,
+        order_cols=("lsn", "seqval"), merge_mode="mor",
+    )
+    t.merge(_obatch(spark, 1, [(2, "a"), (2, "b")]), 0)
+    t.merge(_obatch(spark, 2, [(1, "a")]), 1)   # tombstone for a
+    t.merge(_obatch(spark, 3, [(1, "a")]), 2)   # superseding tombstone
+    m = t._load()
+    total = sum(s[0] for s in m["bstats"].values())
+    assert total == 2  # upper bound: both deltas counted
+    assert min(s[1] for s in m["bstats"].values()) == 2
+    # compaction folds the chain -> exact count (1 surviving tombstone)
+    t.compact_table(max_deltas=0)
+    m = t._load()
+    assert sum(s[0] for s in m["bstats"].values()) == 1
+    # watermark below the tombstone: no candidates, no-op
+    v = t._load()["version"]
+    assert t.expire_tombstones(below_lsn=2, epoch_id=8) == v
+    # watermark above: tombstone GC'd, stats drained
+    t.expire_tombstones(below_lsn=10, epoch_id=9)
+    m = t._load()
+    assert m.get("bstats", {}) == {}
+    assert {r["path"] for r in t.read().collect()} == {"b"}
