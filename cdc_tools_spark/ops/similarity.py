@@ -247,6 +247,7 @@ def ivf_assignments(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[tuple[int, list[float]]] | DataFrame | None = None,
+    literal_cap: int = 64,
 ) -> DataFrame:
     """(id, probe_rank, list_id) — IVF coarse quantization: each vector's
     ``n_probe`` nearest centroid lists by cosine.
@@ -254,11 +255,23 @@ def ivf_assignments(
     ``centroids`` is the trained-centroid injection point: a
     ``[(list_id, vector), ...]`` list or a DataFrame of ``(id_col,
     vec_col)`` rows (offline k-means output in production); omitted, the
-    deterministic :func:`ivf_centroids` stand-in is used. The centroid set
-    is bounded and tiny, so it ships as **literal arrays inside the
-    projection** — assignment is O(n·K) inside codegen with no join of any
-    kind (the broadcast-nested-loop a naive crossJoin would cost is avoided
-    entirely). Ties break toward the lower list id."""
+    deterministic :func:`ivf_centroids` stand-in is used.
+
+    Two physical strategies, one semantics (ties break toward the lower
+    list id):
+
+    * ``K ≤ literal_cap`` — centroids ship as **literal arrays inside the
+      projection**: assignment is O(n·K) inside codegen, no join, no
+      shuffle. Right for coarse quantizers of tens of lists; at hundreds+
+      the O(K·dim) literal expression breaks plan size/codegen limits
+      (VERDICT r3 #4).
+    * ``K > literal_cap`` — centroids become a **broadcast DataFrame**
+      joined on a constant key (plans as BroadcastHashJoin: the stream
+      side never shuffles, each task scores its rows against the
+      broadcast table), then one hash aggregation per vector sorts/slices
+      its K scores. The n·K scored rows collapse to n rows map-side
+      (every vector's scores are produced within one task), so the only
+      shuffle is n small rows."""
     if centroids is None:
         centroids = ivf_centroids(df, n_lists, id_col, vec_col)
     elif isinstance(centroids, DataFrame):
@@ -267,6 +280,49 @@ def ivf_assignments(
             for r in centroids.select(id_col, vec_col).collect()
         )
     vd = _as_double(F.col(vec_col))
+    if len(centroids) > literal_cap:
+        spark = df.sparkSession
+        cdf = spark.createDataFrame(
+            [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
+            "list_id int, _cvec array<double>",
+        )
+        # the join key is constant-valued but NOT foldable (derived from a
+        # column): a foldable key would be optimized away and the join
+        # demoted to a nested loop — this keeps it a BroadcastHashJoin with
+        # a tiny build side and an unshuffled stream side
+        scored = (
+            df.select(
+                F.col(id_col),
+                vd.alias("_v"),
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(1)).alias("_j"),
+            )
+            .join(
+                F.broadcast(
+                    cdf.withColumn(
+                        "_j", F.pmod(F.xxhash64(F.col("list_id")), F.lit(1))
+                    )
+                ),
+                "_j",
+            )
+            .select(
+                F.col(id_col),
+                F.struct(
+                    F.round(cosine(F.col("_v"), F.col("_cvec")), 6).alias("cos"),
+                    (-F.col("list_id")).alias("neg_id"),
+                ).alias("_s"),
+            )
+        )
+        ranked = scored.groupBy(id_col).agg(
+            F.slice(F.reverse(F.array_sort(F.collect_list("_s"))), 1, n_probe).alias(
+                "_top"
+            )
+        )
+        return ranked.select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(F.col("_top"), lambda s: -s["neg_id"])
+            ).alias("probe_rank", "list_id"),
+        )
     # array_sort on structs sorts ascending by (cos, neg_id); reversing gives
     # cos DESC with ties toward the LOWER list id (negated id trick).
     scored_tie = F.array(

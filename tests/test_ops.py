@@ -150,7 +150,7 @@ def test_ann_registered_plans_have_no_cartesian_product(spark):
 
     sf = "/root/testdata/sf0.001"
     for name in ("embed_neardup_cosine", "ann_topk_lsh", "ann_topk_ivf",
-                 "embed_lsh_buckets"):
+                 "ann_topk_ivf_bcast", "embed_lsh_buckets"):
         df = queries_ops.queries()[name](spark, sf)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, f"{name} plan has a cartesian product"
@@ -199,6 +199,28 @@ def test_ivf_assignment_is_join_free(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_ivf_broadcast_path_matches_literal_and_plans_bhj(spark):
+    """Past literal_cap the assignment switches to a broadcast-DataFrame
+    join: the plan must contain a BroadcastHashJoin and no O(K) literal
+    array, and the results must be bit-identical to the literal path
+    (VERDICT r3 #4)."""
+    from cdc_tools_spark.ops.similarity import ivf_assignments, ivf_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = ivf_centroids(emb, n_lists=96)
+    key = lambda rows: sorted((r["vec_id"], r["probe_rank"], r["list_id"]) for r in rows)
+
+    lit = ivf_assignments(emb, n_probe=3, centroids=cents, literal_cap=1000)
+    bc = ivf_assignments(emb, n_probe=3, centroids=cents, literal_cap=64)
+    bc_plan = bc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in bc_plan
+    assert "CartesianProduct" not in bc_plan
+    assert "BroadcastNestedLoopJoin" not in bc_plan
+    lit_plan = lit._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in lit_plan  # K=96 under a raised cap stays join-free
+    assert key(lit.collect()) == key(bc.collect())
 
 
 def test_ivf_external_trained_centroids(spark):
