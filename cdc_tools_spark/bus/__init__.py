@@ -18,10 +18,18 @@ from cdc_tools_spark.bus.json_codec import (
     deserialize_changelog,
     serialize_changelog,
 )
+from cdc_tools_spark.bus.publish import (
+    changelog_messages,
+    kafka_sink_options,
+    publish_changelog,
+)
 
 __all__ = [
     "FileTopic",
     "changelog_avro_schema",
+    "changelog_messages",
+    "kafka_sink_options",
+    "publish_changelog",
     "changelog_value_schema",
     "deserialize_changelog",
     "deserialize_changelog_avro",

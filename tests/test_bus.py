@@ -459,3 +459,76 @@ def test_avro_date_encoder_accepts_datetime_subclasses():
     for v in (day, datetime.datetime(2024, 3, 1, 12, 30),
               pd.Timestamp("2024-03-01 12:30")):
         assert decode_record(encode_record({"d": v}, sch), sch) == {"d": day}
+
+
+def test_kafka_sink_options_mirror_source_options():
+    """VERDICT r3 #5: the produce side builds format('kafka') options
+    symmetric to kafka_source_options — bootstrap servers + topic +
+    delivery guarantees (KeyedJsonProducer.cs:32-48)."""
+    from cdc_tools_spark.bus import kafka_sink_options
+    from cdc_tools_spark.streaming.tail import kafka_source_options
+
+    src = kafka_source_options("b1:9092,b2:9092", "changes")
+    snk = kafka_sink_options("b1:9092,b2:9092", "changes")
+    assert snk["kafka.bootstrap.servers"] == src["kafka.bootstrap.servers"]
+    assert snk["topic"] == src["subscribe"] == "changes"
+    assert snk["kafka.acks"] == "all"
+    assert snk["kafka.enable.idempotence"] == "true"
+    lax = kafka_sink_options("b:9092", "t", acks="1", idempotent=False,
+                             compression="lz4")
+    assert lax["kafka.acks"] == "1"
+    assert lax["kafka.enable.idempotence"] == "false"
+    assert lax["kafka.compression.type"] == "lz4"
+
+
+def test_publish_changelog_kafka_builder_and_wire_roundtrip(spark, small_log):
+    """sink='kafka' constructs the write.format('kafka') writer without a
+    broker (execute=False); the wire frame it would produce decodes back to
+    the changelog through the SAME decode path the Kafka consumer branch
+    uses — produce and consume meet at the (key, value) contract."""
+    from cdc_tools_spark.bus import changelog_messages, publish_changelog
+    from cdc_tools_spark.streaming.tail import decode_kafka_batch
+
+    writer = publish_changelog(
+        small_log, sink="kafka", bootstrap_servers="b:9092", topic="changes",
+        execute=False,
+    )
+    assert writer.__class__.__name__ == "DataFrameWriter"
+    with pytest.raises(ValueError, match="bootstrap_servers"):
+        publish_changelog(small_log, sink="kafka", topic="t")
+
+    # fabricate the broker's side: what format('kafka') would hand back
+    wire = changelog_messages(small_log).select(
+        F.col("key").cast("binary").alias("key"),
+        F.col("value").cast("binary").alias("value"),
+        F.lit("changes").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+    )
+    back = decode_kafka_batch(wire, PAYLOAD)
+    assert {tuple(r) for r in back.select(*small_log.columns).collect()} == {
+        tuple(r) for r in small_log.collect()
+    }
+
+
+def test_publish_changelog_file_sink_all_four_variants(spark, small_log, tmp_path):
+    """publish_changelog drives the FileTopic path for keyed/non-keyed x
+    JSON/Avro — the reference's 4 producer twins behind one switch."""
+    from cdc_tools_spark.bus import publish_changelog
+
+    for i, (codec, keyed) in enumerate(
+        [("json", True), ("json", False), ("avro", True), ("avro", False)]
+    ):
+        root = str(tmp_path / f"t{i}")
+        n = publish_changelog(
+            small_log, sink="file", codec=codec, keyed=keyed,
+            topic_root=root, n_partitions=4,
+        )
+        assert n == 5
+        topic = FileTopic(
+            spark, root, n_partitions=4,
+            value_type="binary" if codec == "avro" else "string",
+        )
+        rows = topic.read().collect()
+        assert len(rows) == 5
+        assert all((r["key"] is None) == (not keyed) for r in rows)
