@@ -118,6 +118,39 @@ import shutil; shutil.rmtree(work, ignore_errors=True)
 print(json.dumps({{'events_per_sec': round(n/dt, 1)}}))
 """
 
+# The same compute path on Spark's local-cluster master: N vs 4N REAL
+# executor JVMs (separate heaps, netty-serialized shuffle exchanges,
+# per-executor python workers) — the closest a single host gets to adding
+# executors (VERDICT r3 #5/#6: pinned local[N] shares one heap and
+# exchanges pass pointers, which hides serialization costs this tier pays).
+_COMPUTE_SCRIPT_LC = """
+import sys, json, time, tempfile, os
+sys.path.insert(0, {repo!r})
+execs, n, chars = {cores}, {events}, {chars}
+from cdc_tools_spark.session import get_spark
+from cdc_tools_spark.sources.binlog import synthetic_binlog
+from cdc_tools_spark.operators.compaction import compact_last_write_wins
+import pyspark.sql.functions as F
+os.makedirs('/dev/shm/cdc_bench', exist_ok=True)
+spark = get_spark('scale-lc', master=f'local-cluster[{{execs}},1,3072]',
+    shuffle_partitions=execs*2,
+    extra_conf={{'spark.ui.showConsoleProgress':'false',
+                 'spark.executor.memory':'2g',
+                 'spark.executorEnv.PYTHONPATH':{repo!r},
+                 'spark.sql.files.maxPartitionBytes':'16m',
+                 'spark.sql.adaptive.advisoryPartitionSizeInBytes':'16m',
+                 'spark.local.dir':'/dev/shm/cdc_bench'}})
+work = tempfile.mkdtemp(dir='/dev/shm/cdc_bench')
+synthetic_binlog(spark, n, n_keys=n//20, hot_key_pct=20, n_hot_keys=5, n_repos=200,
+                 content_chars=chars).write.parquet(f'{{work}}/log')
+log = spark.read.parquet(f'{{work}}/log')
+df = compact_last_write_wins(log).withColumn('sha', F.sha2('content', 256))
+df.write.format('noop').mode('overwrite').save()   # warm (JIT)
+t0 = time.time(); df.write.format('noop').mode('overwrite').save()
+print(json.dumps({{'events_per_sec': round(n/(time.time()-t0), 1)}}))
+import shutil; shutil.rmtree(work, ignore_errors=True)
+"""
+
 _CPU_SCRIPT = """
 import sys, json, time
 sys.path.insert(0, {repo!r})
@@ -138,7 +171,10 @@ print(json.dumps({{'events_per_sec': round(n/(time.time()-t0), 1)}}))
 
 def run_script(cores: int, template: str, **kw) -> dict:
     script = template.format(repo=REPO, cores=cores, **kw)
-    return _pinned(cores, ["-c", script], {})
+    # PYTHONPATH reaches the executor-side python workers, which do NOT
+    # inherit the driver's sys.path once executors are separate JVMs
+    # (local-cluster); harmless for in-process local[N]
+    return _pinned(cores, ["-c", script], {"PYTHONPATH": REPO})
 
 
 def sessions(runner, runs: int, n_cores: int, x4_cores: int):
@@ -179,6 +215,10 @@ def main() -> None:
          lambda c: run_e2e(c, args.events, args.content_chars, "lz4", mode="mor")),
         ("compute path (scan→compact→sha256)",
          lambda c: run_script(c, _COMPUTE_SCRIPT, events=args.events, chars=args.content_chars)),
+        ("compute path on local-cluster (N vs 4N real executor JVMs: separate "
+         "heaps, serialized exchanges)",
+         lambda c: run_script(c, _COMPUTE_SCRIPT_LC, events=args.events,
+                              chars=args.content_chars)),
         ("data-path control (same parquet volume, scan→noop, zero engine logic)",
          lambda c: run_script(c, _DATAPATH_SCRIPT, events=args.events, chars=args.content_chars)),
         ("pure-CPU control (sha256 range)", lambda c: run_script(c, _CPU_SCRIPT)),
@@ -214,10 +254,22 @@ def main() -> None:
             f"| {name} | {lo:.0f} | {hi:.0f} | **{eff:.3f}** | {emin:.3f}–{emax:.3f} |"
         )
     compute = tiers["compute path (scan→compact→sha256)"][2]
+    lc = tiers[
+        "compute path on local-cluster (N vs 4N real executor JVMs: separate "
+        "heaps, serialized exchanges)"
+    ][2]
     dp = tiers[
         "data-path control (same parquet volume, scan→noop, zero engine logic)"
     ]
     lines += [
+        "",
+        f"**local-cluster tier**: the same compute path on {args.n_cores} vs "
+        f"{args.x4_cores} REAL executor JVMs (Spark's local-cluster master: "
+        "separate heaps, netty-serialized shuffle exchanges, per-executor "
+        f"python workers) medians **{lc:.3f}** — scaling via executor COUNT "
+        "rather than thread count, the closest one host gets to adding "
+        "executors. Exchange serialization is paid here, unlike pinned "
+        "local[N] where shuffles pass in-heap references.",
         "",
         f"**Scaling-criterion result**: the compute tier — every engine stage "
         f"except the final parquet write — medians **{compute:.3f}** "
