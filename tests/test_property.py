@@ -209,3 +209,133 @@ def test_merges_interleaved_with_incremental_rescale_match_oracle(
     got = {(r["repo"], r["path"]): r["content"] for r in table.read().collect()}
     oracle = pandas_replay(rows)
     assert got == {k: v["content"] for k, v in oracle.items()}
+
+
+# ---------------------------------------------------------------------------
+# Maintenance-interleaving schedules (VERDICT r3 #7): random interleavings of
+# merge / compact_table / begin_rescale / rescale_step / expire_tombstones /
+# vacuum, with injected CAS conflicts, must keep reads equal to an
+# independent model dict after EVERY step and never lose a committed version.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import types as _T
+
+_MAINT_PAYLOAD = _T.StructType(
+    [
+        _T.StructField("repo", _T.StringType(), True),
+        _T.StructField("path", _T.StringType(), True),
+        _T.StructField("content", _T.StringType(), True),
+    ]
+)
+
+_MAINT_SCHEMA = (
+    "lsn long, seqval long, change_type int, repo string, path string, content string"
+)
+
+# one op: ("merge", [(key_id, is_delete), ...]) | ("conflict", batch) |
+#         ("compact",) | ("rescale_begin",) | ("rescale_step",) |
+#         ("expire",) | ("vacuum",)
+_maint_op = st.one_of(
+    st.tuples(
+        st.just("merge"),
+        st.lists(
+            st.tuples(st.integers(min_value=0, max_value=9), st.booleans()),
+            min_size=1, max_size=5,
+        ),
+    ),
+    st.tuples(st.just("conflict")),
+    st.tuples(st.just("compact")),
+    st.tuples(st.just("rescale_begin")),
+    st.tuples(st.just("rescale_step")),
+    st.tuples(st.just("expire")),
+    st.tuples(st.just("vacuum")),
+)
+
+_maint_schedule = st.tuples(
+    st.sampled_from(["cow", "mor"]),
+    st.lists(_maint_op, min_size=3, max_size=8),
+)
+
+import os as _os
+
+_MAINT_EXAMPLES = int(_os.environ.get("CDC_PROP_SCHEDULES", "200"))
+
+
+@settings(
+    max_examples=_MAINT_EXAMPLES,
+    deadline=None,
+    derandomize=True,  # a reproducible 200-schedule sweep, not a flaky one
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sched=_maint_schedule)
+def test_maintenance_interleavings_preserve_reads_and_versions(
+    spark, tmp_path_factory, sched
+):
+    """Every schedule: reads match the model after every op; version and
+    commit_seq are monotone; an injected stale-writer CAS conflict raises
+    cleanly and mutates nothing visible (no lost update)."""
+    from cdc_tools_spark.lake.fsio import CommitConflictError
+
+    mode, ops = sched
+    work = tmp_path_factory.mktemp("maint")
+    t = ParquetMergeTable.create(
+        spark, str(work / "t"), _MAINT_PAYLOAD, num_buckets=4,
+        order_cols=("lsn", "seqval"), merge_mode=mode, checkpoint_interval=3,
+        retained_snapshots=4,
+    )
+    model: dict[str, str] = {}
+    lsn = 0
+    last_version, last_seq = 0, t._load()["commit_seq"]
+
+    def batch(events, lsn):
+        return spark.createDataFrame(
+            [
+                {"lsn": lsn, "seqval": i, "change_type": 1 if is_del else 2,
+                 "repo": "r", "path": f"p{kid}",
+                 "content": None if is_del else f"v{lsn}-{kid}"}
+                for i, (kid, is_del) in enumerate(events)
+            ],
+            schema=_MAINT_SCHEMA,
+        )
+
+    for op in ops:
+        kind = op[0]
+        if kind == "merge":
+            lsn += 1
+            # last event per key wins within the batch (seqval order)
+            t.merge(batch(op[1], lsn), epoch_id=lsn, collect_metrics=False)
+            for kid, is_del in op[1]:
+                if is_del:
+                    model.pop(f"p{kid}", None)
+                else:
+                    model[f"p{kid}"] = f"v{lsn}-{kid}"
+        elif kind == "conflict":
+            # stale writer: loads, then loses the CAS to a fresh commit
+            stale = t._load()
+            lsn += 1
+            t.merge(batch([(0, False)], lsn), epoch_id=lsn, collect_metrics=False)
+            model["p0"] = f"v{lsn}-0"
+            stale["version"] = stale["version"] + 1
+            try:
+                t._store(stale)
+                raise AssertionError("stale store must CAS-conflict")
+            except CommitConflictError:
+                pass
+        elif kind == "compact":
+            t.compact_table(max_deltas=1, epoch_id=-1)
+        elif kind == "rescale_begin":
+            m = t._load()
+            if not m.get("rescale") and m["num_buckets"] <= 8:
+                t.begin_rescale(m["num_buckets"] * 2)
+        elif kind == "rescale_step":
+            t.rescale_step(max_groups=2)
+        elif kind == "expire":
+            t.expire_tombstones(below_lsn=max(0, lsn - 1), epoch_id=-2)
+        elif kind == "vacuum":
+            t.vacuum(grace_seconds=0)
+
+        got = {r["path"]: r["content"] for r in t.read().collect()}
+        assert got == model, f"after {kind}: {got} != {model}"
+        m = t._load()
+        assert m["version"] >= last_version and m["commit_seq"] >= last_seq
+        last_version, last_seq = m["version"], m["commit_seq"]
