@@ -223,3 +223,70 @@ def test_mor_tombstone_stats_combine_and_reset(spark, tmp_path):
     m = t._load()
     assert m.get("bstats", {}) == {}
     assert {r["path"] for r in t.read().collect()} == {"b"}
+
+
+def test_v1_full_manifest_upgrades_in_place(spark, tmp_path):
+    """A table written by the pre-delta format (one FULL manifest per
+    commit, snapshot entries embedding complete bucket maps, no 'kind')
+    must keep reading, time-travel off the embedded maps, and silently
+    upgrade to the v2 chain on its next commit."""
+    t = ParquetMergeTable.create(
+        spark, str(tmp_path / "t"), PAYLOAD, num_buckets=4,
+        order_cols=("lsn", "seqval"),
+    )
+    t.merge(_obatch(spark, 1, [(2, "a"), (2, "b")]), 0)
+    t.merge(_obatch(spark, 2, [(2, "a"), (2, "c")]), 1)
+    m = t._load()
+
+    # rewrite the manifest dir as an r3-style head: full map, embedded
+    # snapshot buckets, no kind/ckpt metadata
+    v1 = {
+        "format_version": 1,
+        "version": m["version"],
+        "num_buckets": m["num_buckets"],
+        "key_cols": list(t.key_cols),
+        "retained_snapshots": 16,
+        "merge_mode": "cow",
+        "order_cols": ["lsn", "seqval"],
+        "cluster_by": None,
+        "bloom_filter_cols": None,
+        "schema": m["schema"],
+        "buckets": dict(m["buckets"]),
+        "dirs": dict(m["dirs"]),
+        "versions": {
+            v: {
+                "schema": e["schema"],
+                "buckets": dict(t._state_at(e["commit_seq"])["buckets"]),
+                "epoch_id": e["epoch_id"],
+            }
+            for v, e in m["versions"].items()
+        },
+    }
+    for name in fsio.listdir(t._manifest_dir):
+        fsio.delete(os.path.join(t._manifest_dir, name))
+    fsio.create_exclusive(t._mpath(7), json.dumps(v1))  # arbitrary old seq
+
+    t2 = ParquetMergeTable(spark, str(tmp_path / "t"))  # key_cols from manifest
+    assert t2.key_cols == t.key_cols
+    got = {r["path"]: r["content"] for r in t2.read().collect()}
+    assert got == {"a": "c2", "b": "c1", "c": "c2"}
+    # time travel reads the EMBEDDED map (no chain exists to fold)
+    v1_snap = {r["path"]: r["content"] for r in t2.read_version(1).collect()}
+    assert v1_snap == {"a": "c1", "b": "c1"}
+
+    # next commit upgrades: the v1 full manifest doubles as the chain's
+    # checkpoint (it carries the complete map), so the new head is a v2
+    # delta folded onto it; new snapshots carry no bucket maps; old + new
+    # time travel both still work
+    t2.merge(_obatch(spark, 3, [(2, "d")]), 2)
+    seq, head, _ = _head_manifest(t2)
+    assert seq == 8 and head["kind"] == "delta" and head["ckpt_seq"] == 7
+    m2 = t2._load()
+    assert "buckets" in m2["versions"]["1"]      # legacy entry kept embedded
+    assert "buckets" not in m2["versions"]["3"]  # new entry chain-backed
+    assert {r["path"] for r in t2.read_version(3).collect()} == {"a", "b", "c", "d"}
+    assert {r["path"] for r in t2.read_version(1).collect()} == {"a", "b"}
+    # tombstone stats stay off for legacy tables: expire uses the scan path
+    t2.merge(_obatch(spark, 4, [(1, "a")]), 3)
+    t2.expire_tombstones(below_lsn=100, epoch_id=9)
+    assert {r["path"] for r in t2.read().collect()} == {"b", "c", "d"}
