@@ -74,6 +74,7 @@ class CommitLog:
         self.roll_every = max(int(roll_every), 2)
         self.dir = os.path.join(root, f"execution_id={execution_id}", f"table={table_name}")
         self._chunk_cache: dict[str, list[dict]] = {}
+        self._commits_since_roll = 0  # per-process trigger, no LIST per commit
         fsio.mkdirs(self.dir)
 
     def _path(self, epoch: int) -> str:
@@ -128,13 +129,19 @@ class CommitLog:
         both merged idempotently; the first marker wins and the second
         commit is a no-op. Returns True iff this call created the marker.
 
-        Every ``roll_every`` epochs the loose markers roll into a chunk —
-        one LIST amortized over the window, keeping the directory bounded."""
+        Every ``roll_every`` commits (an in-process counter — epoch ids
+        need not be dense) the loose markers roll into a chunk — one LIST
+        amortized over the window, keeping the directory bounded. A driver
+        restarting mid-window leaves at most ~2× roll_every loose markers
+        before its counter next fires."""
         created = fsio.create_exclusive_json(
             self._path(rec.epoch), asdict(rec), indent=None
         )
-        if created and rec.epoch % self.roll_every == self.roll_every - 1:
-            self.roll()
+        if created:
+            self._commits_since_roll += 1
+            if self._commits_since_roll >= self.roll_every:
+                self._commits_since_roll = 0
+                self.roll()
         return created
 
     def roll(self) -> str | None:
