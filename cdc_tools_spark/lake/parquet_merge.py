@@ -1121,6 +1121,23 @@ class ParquetMergeTable(LakeTable):
                 F.sum(F.when(F.col("_tombstone"), 1).otherwise(0)).alias("dels"),
                 F.count(F.lit(1)).alias("n"),
             )
+        # tombstone stats ride the delta write job as TWO scalar aggregates
+        # (count + min lsn) — a per-epoch driver-side read of the written
+        # delta would serialize the tail on the driver. The batch total is
+        # charged to every written bucket: an upper bound (only ever ADDS
+        # GC candidates) that compaction resets to exact.
+        track_ts = bool(m.get("tombstone_stats"))
+        obs_ts = Observation(f"mor-ts-{epoch_id}-{m['version']}")
+
+        def _ts_exprs():
+            tomb = F.col("_tombstone")
+            return [
+                F.sum(F.when(tomb, 1).otherwise(0)).alias("tc"),
+                F.min(F.when(tomb, F.col("lsn"))).alias("tm"),
+            ]
+
+        if track_ts:
+            delta = delta.observe(obs_ts, *_ts_exprs())
 
         version = m["version"] + 1
         _, vdir = self._new_data_dir(m, version)
@@ -1161,17 +1178,18 @@ class ParquetMergeTable(LakeTable):
         new_buckets = dict(m["buckets"])
         for b in written:
             new_buckets[str(b)] = _versions_of(new_buckets.get(str(b), -1)) + [version]
-        if m.get("tombstone_stats"):
-            # append semantics: combine the delta's tombstone stats into the
-            # bucket's running totals (upper bound — read-time compaction
-            # may supersede some; compact_table resets to exact)
-            bs = dict(m.get("bstats", {}))
-            for b, (cnt, mn) in self._tombstone_stats_of(vdir).items():
-                old_s = bs.get(str(b))
-                bs[str(b)] = (
-                    [old_s[0] + cnt, min(old_s[1], mn)] if old_s else [cnt, mn]
-                )
-            m["bstats"] = bs
+        if track_ts:
+            tvals = _obs_get(obs_ts, delta, _ts_exprs())
+            cnt = int(tvals["tc"] or 0)
+            if cnt > 0 and tvals["tm"] is not None:
+                tm = int(tvals["tm"])
+                bs = dict(m.get("bstats", {}))
+                for b in written:
+                    old_s = bs.get(str(b))
+                    bs[str(b)] = (
+                        [old_s[0] + cnt, min(old_s[1], tm)] if old_s else [cnt, tm]
+                    )
+                m["bstats"] = bs
         m["version"] = version
         m["schema"] = new_schema.json()
         m["buckets"] = new_buckets
