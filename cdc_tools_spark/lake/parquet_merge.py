@@ -898,6 +898,52 @@ class ParquetMergeTable(LakeTable):
             df = df.where(~F.col("_tombstone")).drop("_tombstone")
         return df
 
+    def lookup(self, *key_values) -> DataFrame:
+        """Point lookup by primary key — the lake-table form of the
+        reference's single-row state/key probes (StateManager.cs:28-81
+        reads one keyed row; Redshift's distkey routes it to one slice).
+
+        The key's bucket is computed up front, so the scan covers ONE
+        bucket's files — at ``suggest_num_buckets(100 TB)`` that is a
+        1/131072 slice of the table before a single row is read. The key
+        equality predicate is pushed into the parquet scan, where row-group
+        min/max statistics and the table's ``bloom_filter_cols`` filters
+        (written for exactly this probe) skip non-matching row groups, so
+        a lookup costs a handful of row groups, never a bucket scan. MOR
+        tables compact only the target key's rows (the filter precedes the
+        compaction aggregate). Returns 0 rows for absent or deleted keys."""
+        if len(key_values) != len(self.key_cols):
+            raise ValueError(
+                f"lookup takes {len(self.key_cols)} key values "
+                f"{tuple(self.key_cols)}, got {len(key_values)}"
+            )
+        m = self._load()
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        types = {f.name: f.dataType for f in schema.fields}
+        lits = [
+            F.lit(v).cast(types[c]) for c, v in zip(self.key_cols, key_values)
+        ]
+        # the bucket id must hash EXACTLY like _bucket_expr (xxhash64 is
+        # type-sensitive, hence the casts); one 1-row local job resolves it
+        b = int(
+            self.spark.range(1)
+            .select(
+                F.pmod(F.xxhash64(*lits), F.lit(m["num_buckets"])).cast("int").alias("b")
+            )
+            .collect()[0]["b"]
+        )
+        df = self._read_dirs(self._leaf_dirs(m, [b]), schema)
+        cond = None
+        for c, lit in zip(self.key_cols, lits):
+            e = F.col(c).eqNullSafe(lit)
+            cond = e if cond is None else cond & e
+        df = df.where(cond)
+        if m.get("merge_mode") == "mor":
+            df = self._compact_stored(df, tuple(m["order_cols"]))
+        if m.get("order_cols"):
+            df = df.where(~F.col("_tombstone")).drop("_tombstone")
+        return df
+
     def read_version(self, version: int) -> DataFrame:
         """Time travel: snapshot as of ``version``, under that version's
         schema. The snapshot's bucket map is not stored anywhere (VERDICT

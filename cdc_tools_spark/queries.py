@@ -98,6 +98,24 @@ def q_cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_key_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup against the replayed lake table: the key's bucket is
+    resolved from the manifest so the scan covers ONE bucket's files, with
+    the key predicate pushed into the parquet scan (row-group stats +
+    bloom-filter skipping). The probed key is data-derived (first key of
+    the final state), so the oracle can reproduce it."""
+    log = changelog_from_events(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="cdc_lookup_")
+    cfg = ReplayConfig(epoch_events=4_000, num_buckets=16, epoch_strategy="quantile",
+                       collect_metrics=False)
+    replay(spark, log, os.path.join(work, "table"), os.path.join(work, "state"), config=cfg)
+    t = ParquetMergeTable(spark, os.path.join(work, "table"))
+    first = t.read().orderBy("repo", "path").select("repo", "path").first()
+    return t.lookup(first["repo"], first["path"]).select(
+        "repo", "path", "commit", "lang", "content"
+    )
+
+
 def q_cdc_full_load_then_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M3: snapshot full-load (synthetic lsn = -1 inserts,
     FullLoadStreamer.cs:134-150) followed by the CDC tail on the same
@@ -414,6 +432,14 @@ SELECT lsn, seqval, change_type, repo, path, "commit", lang, content FROM compac
 SELECT repo, path, "commit", lang, content, sha256(content) AS content_sha256
 FROM compacted WHERE change_type <> 1
 """,
+    "cdc_key_lookup": _COMPACTED_CTE
+    + """,
+final AS (
+  SELECT repo, path, "commit", lang, content FROM compacted WHERE change_type <> 1),
+target AS (SELECT repo, path FROM final ORDER BY repo, path LIMIT 1)
+SELECT f.repo, f.path, f."commit", f.lang, f.content
+FROM final f JOIN target t ON f.repo = t.repo AND f.path = t.path
+""",
     "cdc_full_load_then_tail": _LOG_CTE
     + """,
 snapshot_events AS (
@@ -707,6 +733,7 @@ def queries() -> dict[str, QueryFn]:
         "cdc_lsn_range_scan": q_cdc_lsn_range_scan,
         "cdc_compaction": q_cdc_compaction,
         "cdc_replay_final_state": q_cdc_replay_final_state,
+        "cdc_key_lookup": q_cdc_key_lookup,
         "cdc_full_load_then_tail": q_cdc_full_load_then_tail,
         "cdc_out_of_order_replay": q_cdc_out_of_order_replay,
         "cdc_mor_replay": q_cdc_mor_replay,

@@ -383,3 +383,45 @@ def test_bloom_filter_cols_write_filters(spark, tmp_path):
     with pytest.raises(ValueError, match="bloom_filter_cols"):
         ParquetMergeTable.create(spark, str(tmp_path / "bad"), PAYLOAD,
                                  num_buckets=2, bloom_filter_cols=("nope",))
+
+
+def test_lookup_reads_one_bucket_with_pushed_key_filter(spark, tmp_path, monkeypatch):
+    """A point lookup must scope the scan to the key's single bucket
+    (manifest routing) and push the key equality into the parquet scan —
+    at 131072 buckets that is the difference between a few row groups and
+    a table scan."""
+    table = ParquetMergeTable.create(spark, str(tmp_path / "t"), PAYLOAD, num_buckets=32)
+    table.merge(_batch(spark, [_row(1, 2, "r", f"p{i}", f"c{i}") for i in range(200)]), 0)
+    reads = []
+    orig = ParquetMergeTable._read_dirs
+
+    def spy(self, dirs, schema):
+        reads.append(list(dirs))
+        return orig(self, dirs, schema)
+
+    monkeypatch.setattr(ParquetMergeTable, "_read_dirs", spy)
+    df = table.lookup("r", "p7")
+    rows = df.collect()
+    assert [(r["path"], r["content"]) for r in rows] == [("p7", "c7")]
+    assert len(reads) == 1 and len(reads[0]) == 1  # exactly one bucket dir
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "p7" in plan
+
+    import pytest
+
+    with pytest.raises(ValueError, match="key values"):
+        table.lookup("r")
+
+
+def test_lookup_on_ordered_mor_table_hides_deleted_keys(spark, tmp_path):
+    t = ParquetMergeTable.create(
+        spark, str(tmp_path / "t"), PAYLOAD, num_buckets=8,
+        order_cols=("lsn", "seqval"), merge_mode="mor",
+    )
+    t.merge(_batch(spark, [_row(1, 2, "r", "a", "v1"), _row(1, 2, "r", "b", "v1")]), 0)
+    t.merge(_batch(spark, [_row(2, 2, "r", "a", "v2"), _row(2, 1, "r", "b", None)]), 1)
+    assert [(r["path"], r["content"]) for r in t.lookup("r", "a").collect()] == [
+        ("a", "v2")  # newest version via the MOR compaction over one bucket
+    ]
+    assert t.lookup("r", "b").count() == 0  # tombstoned
+    assert t.lookup("r", "nope").count() == 0  # never existed
