@@ -944,6 +944,38 @@ class ParquetMergeTable(LakeTable):
             df = df.where(~F.col("_tombstone")).drop("_tombstone")
         return df
 
+    def read_changes(self, since_lsn: int) -> DataFrame:
+        """Net-changes read (CDC-out): one row per key whose CURRENT state
+        changed after ``since_lsn`` — upserts with their payload, deletes
+        as ``change_type = 1`` tombstone rows. The lake-table analog of the
+        reference's net-changes consumption model (SQL Server
+        ``fn_cdc_get_net_changes_…``; CdcRepository.cs reads the
+        all-changes form and compacts — here the table has already
+        compacted, so the net form is a read).
+
+        Ordered tables only (they store ``(lsn, seqval)`` + tombstones per
+        row). The ``lsn > since_lsn`` predicate is pushed into the parquet
+        scan; on ``cluster_by=("lsn",)`` tables row-group min/max statistics
+        skip every row group below the watermark, so an incremental
+        downstream consumer reads O(changed), not O(table). Chain a
+        consumer: checkpoint its last ``max(lsn)``, call with it, repeat —
+        the same watermark contract the engine's own resume uses."""
+        m = self._load()
+        if not m.get("order_cols"):
+            raise ValueError(
+                "read_changes requires an ordered table (order_cols set): "
+                "plain tables do not retain per-row order or deletions"
+            )
+        df = self._current_rows(m, T.StructType.fromJson(json.loads(m["schema"])))
+        return (
+            df.where(F.col("lsn") > since_lsn)
+            .withColumn(
+                "change_type",
+                F.when(F.col("_tombstone"), F.lit(DELETE)).otherwise(F.lit(2)),
+            )
+            .drop("_tombstone")
+        )
+
     def read_version(self, version: int) -> DataFrame:
         """Time travel: snapshot as of ``version``, under that version's
         schema. The snapshot's bucket map is not stored anywhere (VERDICT

@@ -161,6 +161,28 @@ def q_cdc_out_of_order_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select("repo", "path", "commit", "lang", "content")
 
 
+def q_cdc_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net-changes read (CDC-out): replay into an ordered table, then
+    consume everything after a mid-stream watermark — one row per key whose
+    current state changed, upserts with payload and deletes as
+    change_type=1 rows (the SQL Server ``fn_cdc_get_net_changes`` model the
+    reference's consumers assume). The lsn predicate is pushed to the scan."""
+    log = changelog_from_events(spark, sf_dir)
+    since = log.agg(F.max("lsn")).collect()[0][0] // 2
+    work = tempfile.mkdtemp(prefix="cdc_cdf_")
+    from cdc_tools_spark.lake.parquet_merge import ParquetMergeTable as PMT
+    from cdc_tools_spark.pipeline import _payload_schema
+
+    PMT.create(spark, os.path.join(work, "t"), _payload_schema(log),
+               num_buckets=16, order_cols=("lsn", "seqval"))
+    table = PMT(spark, os.path.join(work, "t"))
+    for epoch in plan_epochs(log, 4_000):
+        table.merge(log.where(epoch.predicate()), epoch.epoch_id, collect_metrics=False)
+    return table.read_changes(since).select(
+        "repo", "path", "commit", "lang", "content", "lsn", "seqval", "change_type"
+    )
+
+
 def q_cdc_mor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read mode, worst case: epochs applied in REVERSED order
     into a MOR table (delta appends + read-time newer-wins compaction +
@@ -439,6 +461,13 @@ final AS (
 target AS (SELECT repo, path FROM final ORDER BY repo, path LIMIT 1)
 SELECT f.repo, f.path, f."commit", f.lang, f.content
 FROM final f JOIN target t ON f.repo = t.repo AND f.path = t.path
+""",
+    "cdc_net_changes": _COMPACTED_CTE
+    + """
+SELECT repo, path, "commit", lang, content, lsn, seqval,
+       CASE WHEN change_type = 1 THEN 1 ELSE 2 END AS change_type
+FROM compacted
+WHERE lsn > (SELECT CAST(floor(max(lsn) / 2.0) AS BIGINT) FROM log)
 """,
     "cdc_full_load_then_tail": _LOG_CTE
     + """,
@@ -734,6 +763,7 @@ def queries() -> dict[str, QueryFn]:
         "cdc_compaction": q_cdc_compaction,
         "cdc_replay_final_state": q_cdc_replay_final_state,
         "cdc_key_lookup": q_cdc_key_lookup,
+        "cdc_net_changes": q_cdc_net_changes,
         "cdc_full_load_then_tail": q_cdc_full_load_then_tail,
         "cdc_out_of_order_replay": q_cdc_out_of_order_replay,
         "cdc_mor_replay": q_cdc_mor_replay,

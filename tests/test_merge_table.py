@@ -425,3 +425,34 @@ def test_lookup_on_ordered_mor_table_hides_deleted_keys(spark, tmp_path):
     ]
     assert t.lookup("r", "b").count() == 0  # tombstoned
     assert t.lookup("r", "nope").count() == 0  # never existed
+
+
+def test_read_changes_net_form_with_deletes(spark, tmp_path):
+    """read_changes(since_lsn) is the net CDC-out feed: one row per key
+    whose current state changed after the watermark — upserts with payload,
+    deletes as change_type=1 — chaining exactly like a downstream
+    incremental consumer."""
+    import pytest
+
+    t = ParquetMergeTable.create(
+        spark, str(tmp_path / "t"), PAYLOAD, num_buckets=8,
+        order_cols=("lsn", "seqval"), cluster_by=("lsn",),
+    )
+    t.merge(_batch(spark, [_row(1, 2, "r", "a", "v1"), _row(1, 2, "r", "b", "v1")]), 0)
+    t.merge(_batch(spark, [_row(2, 2, "r", "a", "v2")]), 1)
+    t.merge(_batch(spark, [_row(3, 1, "r", "b", None), _row(3, 2, "r", "c", "v3")]), 2)
+
+    ch = {r["path"]: (r["content"], r["change_type"])
+          for r in t.read_changes(1).collect()}
+    assert ch == {"a": ("v2", 2), "b": (None, 1), "c": ("v3", 2)}
+    # consumer checkpoints its max lsn and chains
+    ch2 = {r["path"]: r["change_type"] for r in t.read_changes(2).collect()}
+    assert ch2 == {"b": 1, "c": 2}
+    assert t.read_changes(3).count() == 0  # caught up
+    # a key re-upserted after its delete surfaces as an upsert again
+    t.merge(_batch(spark, [_row(4, 2, "r", "b", "v4")]), 3)
+    assert {r["path"]: r["change_type"] for r in t.read_changes(3).collect()} == {"b": 2}
+
+    plain = ParquetMergeTable.create(spark, str(tmp_path / "p"), PAYLOAD, num_buckets=4)
+    with pytest.raises(ValueError, match="ordered"):
+        plain.read_changes(0)
