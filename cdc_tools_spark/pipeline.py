@@ -68,6 +68,14 @@ class ReplayConfig:
     # way; Spark already covers task-level retries, this covers job-level.
     max_retries: int = 2
     retry_backoff_s: float = 1.0
+    # Physical-layout passthrough for the table this replay creates:
+    # cluster_by=("lsn",) sorts each bucket's files on write (row-group
+    # min/max pruning for lsn-bounded scans — tombstone GC, read_changes,
+    # watermark resumes); bloom_filter_cols=key cols writes parquet bloom
+    # filters (row-group skipping for lookup()/MERGE key probes). Both are
+    # create-time table properties; ignored when the table already exists.
+    cluster_by: tuple[str, ...] | None = None
+    bloom_filter_cols: tuple[str, ...] | None = None
 
 
 @dataclass
@@ -148,6 +156,8 @@ def replay(
                 config.num_buckets,
                 order_cols=("lsn", "seqval") if config.merge_mode == "mor" else None,
                 merge_mode=config.merge_mode,
+                cluster_by=config.cluster_by,
+                bloom_filter_cols=config.bloom_filter_cols,
             )
 
     summary = ReplaySummary()

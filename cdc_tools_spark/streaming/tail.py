@@ -56,6 +56,11 @@ class StreamConfig:
     topic: str | None = None
     starting_offsets: str = "earliest"
     max_offsets_per_trigger: int | None = None  # Kafka's backpressure knob
+    # physical layout for the table the stream creates (see ReplayConfig):
+    # cluster_by sorts bucket files (row-group pruning on lsn scans),
+    # bloom_filter_cols writes key bloom filters (point-probe skipping)
+    cluster_by: tuple[str, ...] | None = None
+    bloom_filter_cols: tuple[str, ...] | None = None
 
 
 def kafka_source_options(
@@ -125,6 +130,8 @@ def stream_tail(
             config.num_buckets,
             order_cols=("lsn", "seqval"),
             merge_mode=config.merge_mode,
+            cluster_by=config.cluster_by,
+            bloom_filter_cols=config.bloom_filter_cols,
         )
 
     stream = (
@@ -213,6 +220,8 @@ def stream_tail_topic(
         ParquetMergeTable.create(
             spark, table_root, payload, config.key_cols, config.num_buckets,
             order_cols=("lsn", "seqval"), merge_mode=config.merge_mode,
+            cluster_by=config.cluster_by,
+            bloom_filter_cols=config.bloom_filter_cols,
         )
 
     merge = _merge_batch_fn(
