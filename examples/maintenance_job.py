@@ -12,8 +12,8 @@ a short maintenance window, repeatedly:
 * ``--compact-max-deltas N``  — MOR governor: fold buckets whose delta
   chain exceeds N (manifest-only check when nothing is over).
 * ``--expire-below-lsn W``    — GC delete-tombstones below the replay
-  watermark W; only buckets actually holding expired tombstones are
-  rewritten (column-pruned, statistics-pushed candidate scan).
+  watermark W; candidate buckets come from the manifest's per-bucket
+  tombstone stats (zero data I/O) and only those are rewritten.
 * ``--grow-buckets M``        — begin an incremental rescale to M buckets
   (manifest-only; M must be an integer multiple of the current count).
   Ongoing merges split the sibling groups they touch for free.

@@ -9,9 +9,10 @@ partitioned FileTopic → Structured-Streaming tail with ``from_json`` decode
 
 Run:  spark-submit --py-files dist/cdc_tools_spark.zip examples/publish_consume_job.py
 (or plain ``python examples/publish_consume_job.py`` in this sandbox).
-On a real bus, FileTopic.append becomes ``df.write.format("kafka")`` and
-stream_tail_topic's source becomes ``readStream.format("kafka")`` — key,
-value, and the decode/merge plan are identical.
+On a real bus, set ``bus.publish_changelog(..., sink="kafka",
+bootstrap_servers=..., topic=...)`` on the produce side and
+``StreamConfig(source="kafka", ...)`` on the consume side — key, value,
+and the decode/merge plan are identical; only the transport node changes.
 """
 
 from __future__ import annotations
