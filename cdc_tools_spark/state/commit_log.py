@@ -74,6 +74,7 @@ class CommitLog:
         self.roll_every = max(int(roll_every), 2)
         self.dir = os.path.join(root, f"execution_id={execution_id}", f"table={table_name}")
         self._chunk_cache: dict[str, list[dict]] = {}
+        self._chunk_names: list[str] | None = None  # lazy, see _chunks()
         self._commits_since_roll = 0  # per-process trigger, no LIST per commit
         fsio.mkdirs(self.dir)
 
@@ -114,6 +115,16 @@ class CommitLog:
         loose.sort()
         chunks.sort(key=lambda n: self._chunk_range(n))
         return loose, chunks
+
+    def _chunks(self) -> list[str]:
+        """Instance-cached chunk-name list for the hot-path point check.
+        Chunks are immutable, so the cache only ever misses chunks rolled
+        AFTER it loaded — and a resulting false negative is safe: the
+        caller re-merges (idempotent) and re-creates the marker, which the
+        next roll folds and readers dedupe. roll/compact refresh it."""
+        if self._chunk_names is None:
+            _, self._chunk_names = self._listing()
+        return self._chunk_names
 
     def _chunk_records(self, name: str) -> list[dict]:
         if name not in self._chunk_cache:
@@ -173,6 +184,7 @@ class CommitLog:
         for e in loose:
             if e in covered:
                 fsio.delete(self._path(e))
+        self._chunk_names = None  # refresh the point-check cache
         return name
 
     def compact_chunks(self) -> str | None:
@@ -199,16 +211,19 @@ class CommitLog:
             if old != name:
                 fsio.delete(os.path.join(self.dir, old))
                 self._chunk_cache.pop(old, None)
+        self._chunk_names = None  # refresh the point-check cache
         return name
 
     # -- read path ---------------------------------------------------------
     def is_committed(self, epoch: int) -> bool:
-        """O(1) for recent (loose) epochs; one cached chunk read for rolled
-        ones."""
+        """O(1) for recent (loose) epochs — one existence probe, NO
+        directory listing (the replay loop's per-epoch race guard runs
+        this on every not-yet-committed epoch, so a LIST here would be a
+        per-epoch LIST at stream length); rolled epochs hit the cached
+        chunk list + one cached chunk read."""
         if fsio.exists(self._path(epoch)):
             return True
-        _, chunks = self._listing()
-        for name in chunks:
+        for name in self._chunks():
             lo, hi = self._chunk_range(name)
             if lo <= epoch <= hi and any(
                 r["epoch"] == epoch for r in self._chunk_records(name)
