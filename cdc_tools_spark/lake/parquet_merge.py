@@ -320,7 +320,7 @@ class ParquetMergeTable(LakeTable):
     def _apply_delta(m: dict, d: dict) -> None:
         """Fold one delta manifest into the running state: O(touched)."""
         m["version"] = d["version"]
-        for k in ("schema", "num_buckets"):
+        for k in ("schema", "num_buckets", "max_lsn"):
             if k in d:
                 m[k] = d[k]
         if "rescale" in d:
@@ -465,7 +465,7 @@ class ParquetMergeTable(LakeTable):
                 "ckpt_seq": my_ckpt,
                 "version": manifest["version"],
             }
-            for k in ("schema", "num_buckets"):
+            for k in ("schema", "num_buckets", "max_lsn"):
                 if manifest.get(k) != base.get(k):
                     payload[k] = manifest[k]
             if manifest.get("rescale") != base.get("rescale"):
@@ -898,6 +898,16 @@ class ParquetMergeTable(LakeTable):
             df = df.where(~F.col("_tombstone")).drop("_tombstone")
         return df
 
+    def watermark(self) -> int:
+        """High LSN watermark from the manifest — O(1), no data I/O
+        (StateManager.cs:28-81 tracks the same last-applied LSN in one
+        state row). Maintained by ordered-table merges on their write-job
+        observations and by metrics-on merges of plain tables; −1 until a
+        merge has recorded one. The authoritative replay resume point
+        remains the commit log; this is the table-side cross-check and the
+        natural ``read_changes`` cursor for consumers without one."""
+        return int(self._load().get("max_lsn", -1))
+
     def lookup(self, *key_values) -> DataFrame:
         """Point lookup by primary key — the lake-table form of the
         reference's single-row state/key probes (StateManager.cs:28-81
@@ -1212,6 +1222,7 @@ class ParquetMergeTable(LakeTable):
             return [
                 F.sum(F.when(tomb, 1).otherwise(0)).alias("tc"),
                 F.min(F.when(tomb, F.col("lsn"))).alias("tm"),
+                F.max(F.col("lsn")).alias("hi"),
             ]
 
         if track_ts:
@@ -1258,6 +1269,8 @@ class ParquetMergeTable(LakeTable):
             new_buckets[str(b)] = _versions_of(new_buckets.get(str(b), -1)) + [version]
         if track_ts:
             tvals = _obs_get(obs_ts, delta, _ts_exprs())
+            if tvals.get("hi") is not None:
+                m["max_lsn"] = max(int(m.get("max_lsn", -1)), int(tvals["hi"]))
             cnt = int(tvals["tc"] or 0)
             if cnt > 0 and tvals["tm"] is not None:
                 tm = int(tvals["tm"])
@@ -1681,6 +1694,7 @@ class ParquetMergeTable(LakeTable):
             return [
                 F.sum(F.when(tomb, 1).otherwise(0)).alias("tc"),
                 F.min(F.when(tomb, F.col("lsn"))).alias("tm"),
+                F.max(F.col("lsn")).alias("hi"),
             ]
 
         if track_ts:
@@ -1688,6 +1702,8 @@ class ParquetMergeTable(LakeTable):
         self._routed_write(out, m, vdir)
         if track_ts:
             tvals = _obs_get(obs_ts, out, _ts_exprs())
+            if tvals.get("hi") is not None:
+                m["max_lsn"] = max(int(m.get("max_lsn", -1)), int(tvals["hi"]))
             bs = dict(m.get("bstats", {}))
             if observe_ts_exact:
                 for b in touched:
@@ -1727,6 +1743,8 @@ class ParquetMergeTable(LakeTable):
             raw_events = int(in_stats["raw_batch"] or 0)
             batch_lo = int(in_stats["batch_lo"] if in_stats["batch_lo"] is not None else -1)
             batch_hi = int(in_stats["batch_hi"] if in_stats["batch_hi"] is not None else -1)
+            if batch_hi >= 0:
+                m["max_lsn"] = max(int(m.get("max_lsn", -1)), batch_hi)
 
         lineage: dict[int, int] = {}
         if observe_lineage:

@@ -456,3 +456,29 @@ def test_read_changes_net_form_with_deletes(spark, tmp_path):
     plain = ParquetMergeTable.create(spark, str(tmp_path / "p"), PAYLOAD, num_buckets=4)
     with pytest.raises(ValueError, match="ordered"):
         plain.read_changes(0)
+
+
+def test_watermark_tracks_max_lsn_without_scanning(spark, tmp_path, monkeypatch):
+    """watermark() answers from the manifest — no _read_dirs call — and
+    survives the delta-manifest round trip across commits and modes."""
+    for mode in ("cow", "mor"):
+        t = ParquetMergeTable.create(
+            spark, str(tmp_path / mode), PAYLOAD, num_buckets=4,
+            order_cols=("lsn", "seqval"), merge_mode=mode,
+        )
+        assert t.watermark() == -1
+        t.merge(_batch(spark, [_row(5, 2, "r", "a", "v5")]), 0, collect_metrics=False)
+        t.merge(_batch(spark, [_row(9, 2, "r", "b", "v9")]), 1, collect_metrics=False)
+        t.merge(_batch(spark, [_row(7, 1, "r", "a", None)]), 2, collect_metrics=False)
+
+        def no_read(self, dirs, schema):
+            raise AssertionError("watermark must not read data")
+
+        monkeypatch.setattr(ParquetMergeTable, "_read_dirs", no_read)
+        assert t.watermark() == 9
+        monkeypatch.undo()
+        # metrics-on path maintains it too
+        t.merge(_batch(spark, [_row(12, 2, "r", "c", "v12")]), 3)
+        assert t.watermark() == 12
+        # natural read_changes cursor
+        assert {r["path"] for r in t.read_changes(9).collect()} == {"c"}
