@@ -183,6 +183,26 @@ def q_cdc_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_table_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest-maintained O(1) high watermark after a full ordered
+    replay must equal the data's true max(lsn) — validating that the
+    write-job observations folded every batch's bound into table metadata
+    (the StateManager last-LSN analog, served without any data I/O)."""
+    log = changelog_from_events(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="cdc_wm_")
+    from cdc_tools_spark.lake.parquet_merge import ParquetMergeTable as PMT
+    from cdc_tools_spark.pipeline import _payload_schema
+
+    PMT.create(spark, os.path.join(work, "t"), _payload_schema(log),
+               num_buckets=16, order_cols=("lsn", "seqval"))
+    table = PMT(spark, os.path.join(work, "t"))
+    for epoch in plan_epochs(log, 4_000):
+        table.merge(log.where(epoch.predicate()), epoch.epoch_id, collect_metrics=False)
+    return spark.createDataFrame(
+        [(table.watermark(),)], "watermark long"
+    )
+
+
 def q_cdc_mor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read mode, worst case: epochs applied in REVERSED order
     into a MOR table (delta appends + read-time newer-wins compaction +
@@ -461,6 +481,10 @@ final AS (
 target AS (SELECT repo, path FROM final ORDER BY repo, path LIMIT 1)
 SELECT f.repo, f.path, f."commit", f.lang, f.content
 FROM final f JOIN target t ON f.repo = t.repo AND f.path = t.path
+""",
+    "cdc_table_watermark": _LOG_CTE
+    + """
+SELECT max(lsn) AS watermark FROM log
 """,
     "cdc_net_changes": _COMPACTED_CTE
     + """
@@ -764,6 +788,7 @@ def queries() -> dict[str, QueryFn]:
         "cdc_replay_final_state": q_cdc_replay_final_state,
         "cdc_key_lookup": q_cdc_key_lookup,
         "cdc_net_changes": q_cdc_net_changes,
+        "cdc_table_watermark": q_cdc_table_watermark,
         "cdc_full_load_then_tail": q_cdc_full_load_then_tail,
         "cdc_out_of_order_replay": q_cdc_out_of_order_replay,
         "cdc_mor_replay": q_cdc_mor_replay,
