@@ -976,9 +976,21 @@ class ParquetMergeTable(LakeTable):
                 "read_changes requires an ordered table (order_cols set): "
                 "plain tables do not retain per-row order or deletions"
             )
-        df = self._current_rows(m, T.StructType.fromJson(json.loads(m["schema"])))
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        # Filter BEFORE the MOR compaction so the lsn predicate reaches the
+        # scan even on delta chains. Equivalent by order dominance: a key's
+        # winner has the key's max (lsn, seqval); any stored row above the
+        # watermark order-dominates every row at or below it, so the winner
+        # among post-watermark rows IS the global winner whenever the
+        # global winner is post-watermark — and pre-watermark winners are
+        # excluded from the feed either way.
+        df = self._read_dirs(self._leaf_dirs(m), schema).where(
+            F.col("lsn") > since_lsn
+        )
+        if m.get("merge_mode") == "mor":
+            df = self._compact_stored(df, tuple(m["order_cols"]))
         return (
-            df.where(F.col("lsn") > since_lsn)
+            df
             .withColumn(
                 "change_type",
                 F.when(F.col("_tombstone"), F.lit(DELETE)).otherwise(F.lit(2)),
@@ -1672,14 +1684,19 @@ class ParquetMergeTable(LakeTable):
         # rewrite resets flagged buckets to exact.
         track_ts = persist_order and m.get("tombstone_stats")
         obs_ts = Observation(f"merge-ts-{epoch_id}-{m['version']}")
-        observe_ts_exact = (
-            track_ts and collect_metrics and len(touched) <= self.LINEAGE_OBSERVE_CAP
+        # exact per-bucket stats when the expression cost is trivial: always
+        # under the lineage cap with metrics on (the job already carries an
+        # observation of that width), or ≤16 touched buckets regardless —
+        # the common sparse-tail shape, where exactness keeps GC candidate
+        # sets tight at ~32 cheap aggregates
+        observe_ts_exact = track_ts and len(touched) <= (
+            self.LINEAGE_OBSERVE_CAP if collect_metrics else 16
         )
 
         def _ts_exprs():
             tomb = F.col("_tombstone")
             if observe_ts_exact:
-                return [
+                return [F.max(F.col("lsn")).alias("hi")] + [
                     e
                     for b in touched
                     for e in (

@@ -482,3 +482,21 @@ def test_watermark_tracks_max_lsn_without_scanning(spark, tmp_path, monkeypatch)
         assert t.watermark() == 12
         # natural read_changes cursor
         assert {r["path"] for r in t.read_changes(9).collect()} == {"c"}
+
+
+def test_read_changes_mor_pushes_lsn_before_compaction(spark, tmp_path):
+    """On MOR tables the watermark filter must reach the scan (before the
+    read-time compaction aggregate) and still produce net-change semantics
+    identical to the COW path."""
+    t = ParquetMergeTable.create(
+        spark, str(tmp_path / "t"), PAYLOAD, num_buckets=4,
+        order_cols=("lsn", "seqval"), merge_mode="mor",
+    )
+    t.merge(_batch(spark, [_row(1, 2, "r", "a", "v1"), _row(1, 2, "r", "b", "v1")]), 0)
+    t.merge(_batch(spark, [_row(2, 2, "r", "a", "v2")]), 1)
+    t.merge(_batch(spark, [_row(3, 1, "r", "a", None)]), 2)  # delete supersedes
+    ch = {r["path"]: r["change_type"] for r in t.read_changes(1).collect()}
+    assert ch == {"a": 1}  # net: a deleted after watermark; b unchanged
+    plan = t.read_changes(1)._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    assert "lsn" in scan and "> 1" in scan  # filter reached the scan
