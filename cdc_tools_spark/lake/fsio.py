@@ -190,6 +190,47 @@ def mtime(path: str) -> float:
     return fs.getFileStatus(p).getModificationTime() / 1000.0
 
 
+def newest_mtime(path: str, max_entries: int = 4096) -> float:
+    """Newest modification time (epoch seconds) among the path itself and
+    the FILES under it (bounded recursive listing, at most ``max_entries``
+    statuses). Object stores report pseudo-directory prefixes with mtime 0
+    and local directory mtimes only reflect immediate-children changes
+    (ADVICE r4) — so age-based grace windows must look at the newest file,
+    not the directory entry. 0.0 if the path doesn't exist."""
+    if _is_local(path):
+        try:
+            newest = os.path.getmtime(path)
+        except OSError:
+            return 0.0
+        seen = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    newest = max(newest, os.path.getmtime(os.path.join(root, f)))
+                except OSError:
+                    continue
+                seen += 1
+                if seen >= max_entries:
+                    return newest
+        return newest
+    _, fs, p = _fs(path)
+    if not fs.exists(p):
+        return 0.0
+    newest = fs.getFileStatus(p).getModificationTime() / 1000.0
+    stack, seen = [p], 0
+    while stack and seen < max_entries:
+        cur = stack.pop()
+        for st in fs.listStatus(cur):
+            if st.isDirectory():
+                stack.append(st.getPath())
+            else:
+                newest = max(newest, st.getModificationTime() / 1000.0)
+                seen += 1
+                if seen >= max_entries:
+                    break
+    return newest
+
+
 def delete(path: str, recursive: bool = True) -> None:
     if _is_local(path):
         import shutil

@@ -1092,7 +1092,14 @@ class ParquetMergeTable(LakeTable):
             if v > m["version"]:
                 continue  # in-flight concurrent writer — not ours to judge
             full = os.path.join(self.root, name)
-            if grace_seconds > 0 and _time.time() - fsio.mtime(full) < grace_seconds:
+            if (
+                grace_seconds > 0
+                and _time.time() - fsio.newest_mtime(full) < grace_seconds
+            ):
+                # Age from the newest FILE under the directory, not the
+                # directory entry (ADVICE r4): object stores report
+                # pseudo-dir prefixes as mtime 0 ("infinitely old"), which
+                # would silently void the in-flight-writer protection.
                 continue  # recently modified: possibly a still-writing CAS loser
             fsio.delete(full)
             if name == _data_dirname(m, v):

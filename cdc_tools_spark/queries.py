@@ -111,6 +111,11 @@ def q_cdc_key_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay(spark, log, os.path.join(work, "table"), os.path.join(work, "state"), config=cfg)
     t = ParquetMergeTable(spark, os.path.join(work, "table"))
     first = t.read().orderBy("repo", "path").select("repo", "path").first()
+    if first is None:
+        # empty final state (every key ended deleted): the DuckDB twin's
+        # LIMIT-1 CTE yields 0 rows — mirror that instead of subscripting
+        # None (ADVICE r4, same class as the keyset guard above)
+        return t.read().select("repo", "path", "commit", "lang", "content").limit(0)
     return t.lookup(first["repo"], first["path"]).select(
         "repo", "path", "commit", "lang", "content"
     )
