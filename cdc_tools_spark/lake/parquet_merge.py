@@ -934,14 +934,27 @@ class ParquetMergeTable(LakeTable):
             F.lit(v).cast(types[c]) for c, v in zip(self.key_cols, key_values)
         ]
         # the bucket id must hash EXACTLY like _bucket_expr (xxhash64 is
-        # type-sensitive, hence the casts); one 1-row local job resolves it
-        b = int(
-            self.spark.range(1)
-            .select(
-                F.pmod(F.xxhash64(*lits), F.lit(m["num_buckets"])).cast("int").alias("b")
-            )
-            .collect()[0]["b"]
+        # type-sensitive, hence the casts). Fast path: the driver-side twin
+        # (property-tested bit-equal to F.xxhash64 — functions/xxhash.py)
+        # routes in microseconds; any type/value shape it can't guarantee
+        # falls back to a 1-row local job (VERDICT r4 finding #1).
+        from cdc_tools_spark.functions.xxhash import bucket_of
+
+        b = bucket_of(
+            list(key_values),
+            [types[c] for c in self.key_cols],
+            int(m["num_buckets"]),
         )
+        if b is None:
+            b = int(
+                self.spark.range(1)
+                .select(
+                    F.pmod(F.xxhash64(*lits), F.lit(m["num_buckets"]))
+                    .cast("int")
+                    .alias("b")
+                )
+                .collect()[0]["b"]
+            )
         df = self._read_dirs(self._leaf_dirs(m, [b]), schema)
         cond = None
         for c, lit in zip(self.key_cols, lits):
