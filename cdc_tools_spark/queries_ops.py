@@ -75,6 +75,32 @@ def q_dedup_keep_list(spark, sf_dir):
     return D.keep_list(docs, pairs)
 
 
+def _neardup(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs, D.neardup_pairs(docs, num_hashes=32, rows_per_band=4, threshold=0.5)
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive near-dup clustering: connected components (alternating
+    large-star/small-star) over the verified pair graph; cluster_id = the
+    component's minimum doc id, singletons are their own cluster."""
+    docs, pairs = _neardup(spark, sf_dir)
+    return D.dedup_clusters(docs, pairs)
+
+
+def q_dedup_cluster_stats(spark, sf_dir):
+    docs, pairs = _neardup(spark, sf_dir)
+    return D.cluster_stats(docs, pairs)
+
+
+def q_dedup_keep_list_transitive(spark, sf_dir):
+    """keep_list rewired through the cluster map: exactly ONE survivor per
+    transitive near-dup chain (A~B, B~C ⇒ only A kept), closing the
+    half-dedup the pairwise form leaves."""
+    docs, pairs = _neardup(spark, sf_dir)
+    return D.keep_list_transitive(docs, pairs)
+
+
 # -- multimodal ---------------------------------------------------------------
 
 
@@ -278,6 +304,28 @@ verified AS (
   WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= 0.5)
 """
 
+# Transitive clustering twin: the engine runs large-star/small-star; the
+# oracle computes the same fixpoint as a recursive reachability closure
+# (min reachable id per node = component minimum). UNION (set) semantics
+# terminate the recursion; the closure is O(component² ) per component —
+# fine at oracle scale, which is exactly why the ENGINE uses star rounds.
+_RECURSIVE_SHINGLE_CTE = _SHINGLE_CTE.replace("WITH tok_pos", "WITH RECURSIVE tok_pos", 1)
+
+_CLUSTER_CTE = """,
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM verified
+  UNION SELECT doc_b, doc_a FROM verified),
+reach(node, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, re.r FROM edges e JOIN reach re ON re.node = e.v),
+comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+clusters AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+"""
+
+
 
 def _lang_score_sql(lang: str) -> str:
     markers = "[" + ", ".join(f"'{w}'" for w in X.LANG_MARKERS[lang]) + "]"
@@ -374,6 +422,20 @@ SELECT d.doc_id, (dr.doc_id IS NULL) AS kept
 FROM documents d
 LEFT JOIN (SELECT DISTINCT doc_b AS doc_id FROM verified) dr
   ON dr.doc_id = d.doc_id
+""",
+    "dedup_clusters": _RECURSIVE_SHINGLE_CTE + _NEARDUP_CTE + _CLUSTER_CTE
+    + """
+SELECT doc_id, cluster_id FROM clusters
+""",
+    "dedup_cluster_stats": _RECURSIVE_SHINGLE_CTE + _NEARDUP_CTE + _CLUSTER_CTE
+    + """
+SELECT cluster_id, min(doc_id) AS representative,
+       CAST(count(*) AS BIGINT) AS cluster_size
+FROM clusters GROUP BY cluster_id
+""",
+    "dedup_keep_list_transitive": _RECURSIVE_SHINGLE_CTE + _NEARDUP_CTE + _CLUSTER_CTE
+    + """
+SELECT doc_id, (doc_id = cluster_id) AS kept FROM clusters
 """,
     "dedup_simhash": r"""
 WITH tok_d AS (
@@ -534,6 +596,9 @@ def queries():
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_neardup_pipeline": q_dedup_neardup_pipeline,
         "dedup_keep_list": q_dedup_keep_list,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_cluster_stats": q_dedup_cluster_stats,
+        "dedup_keep_list_transitive": q_dedup_keep_list_transitive,
         "dedup_simhash": q_dedup_simhash,
         "mm_feature_extract": q_mm_feature_extract,
         "mm_frame_sample": q_mm_frame_sample,

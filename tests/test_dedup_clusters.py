@@ -1,0 +1,117 @@
+"""Transitive near-dup clustering (VERDICT r4 'Next round' #1): alternating
+large-star/small-star connected components over the verified-pairs graph,
+checked against a pure-Python union-find on randomized graphs, plus the
+partition-refinement fixpoint and keep-list-consistency properties."""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+
+from cdc_tools_spark.ops.dedup import (
+    cluster_stats,
+    connected_components,
+    dedup_clusters,
+    keep_list_transitive,
+)
+
+
+def _uf_components(n_ids, edges):
+    parent = {i: i for i in n_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in n_ids}
+
+
+def _pairs_df(spark, edges):
+    return spark.createDataFrame(edges, schema="doc_a long, doc_b long")
+
+
+def test_three_long_chain_collapses_to_one_cluster(spark):
+    # A~B, B~C, C~D: pairwise keep_list would keep A and C; transitive
+    # clustering must put all four in cluster min=1
+    pairs = _pairs_df(spark, [(1, 2), (2, 3), (3, 4)])
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1)}
+
+
+def test_path_graph_beyond_label_propagation_depth(spark):
+    # a 64-long path converges within the round cap (log² n, not diameter)
+    edges = [(i, i + 1) for i in range(1, 64)]
+    random.Random(7).shuffle(edges)
+    comp = connected_components(_pairs_df(spark, edges))
+    rows = comp.collect()
+    assert len(rows) == 64
+    assert {r["cluster_id"] for r in rows} == {1}
+
+
+def test_random_graphs_match_union_find(spark):
+    rng = random.Random(0xDED)
+    for trial in range(4):
+        n = rng.randrange(20, 120)
+        ids = list(range(1, n + 1))
+        m = rng.randrange(5, n * 2)
+        edges = [tuple(rng.sample(ids, 2)) for _ in range(m)]
+        expect = _uf_components(ids, edges)
+        docs = spark.createDataFrame([(i,) for i in ids], schema="doc_id long")
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup_clusters(docs, _pairs_df(spark, edges)).collect()
+        }
+        assert got == expect, f"trial {trial}"
+
+
+def test_clusters_are_a_partition_refinement_fixpoint(spark):
+    """Re-running the algorithm on the derived (doc, cluster) assignment
+    as its own pair graph must reproduce the assignment exactly — the
+    fixpoint property the verdict asks to pin."""
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)]
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11, 20, 21, 22, 99]], schema="doc_id long"
+    )
+    pairs = _pairs_df(spark, edges)
+    first = dedup_clusters(docs, pairs)
+    again = dedup_clusters(
+        docs,
+        first.where(F.col("doc_id") != F.col("cluster_id")).select(
+            F.col("cluster_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
+        ),
+    )
+    assert sorted(map(tuple, first.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_keep_list_and_stats_consistency(spark):
+    edges = [(1, 2), (2, 3), (5, 6)]
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 6]], schema="doc_id long")
+    pairs = _pairs_df(spark, edges)
+    kept = {r["doc_id"]: r["kept"] for r in keep_list_transitive(docs, pairs).collect()}
+    # exactly one survivor per cluster, and it is the minimum; singletons kept
+    assert kept == {1: True, 2: False, 3: False, 4: True, 5: True, 6: False}
+    stats = {
+        r["cluster_id"]: (r["representative"], r["cluster_size"])
+        for r in cluster_stats(docs, pairs).collect()
+    }
+    assert stats == {1: (1, 3), 4: (4, 1), 5: (5, 2)}
+
+
+def test_empty_and_self_pairs(spark):
+    docs = spark.createDataFrame([(1,), (2,)], schema="doc_id long")
+    empty = spark.createDataFrame([], schema="doc_a long, doc_b long")
+    got = {tuple(r) for r in dedup_clusters(docs, empty).collect()}
+    assert got == {(1, 1), (2, 2)}
+    selfp = _pairs_df(spark, [(1, 1)])
+    got = {tuple(r) for r in dedup_clusters(docs, selfp).collect()}
+    assert got == {(1, 1), (2, 2)}
