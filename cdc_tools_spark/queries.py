@@ -188,6 +188,28 @@ def q_cdc_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_net_changes_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net-changes read resuming MID-TRANSACTION: the cursor is the tuple
+    ``(since_lsn, since_seqval)`` — rows of the cursor's own transaction
+    after the checkpointed seqval are included, earlier ones excluded
+    (S2 tuple-inequality parity for the CDC-out feed,
+    CdcRepository.cs:60-138)."""
+    log = changelog_from_events(spark, sf_dir)
+    since = log.agg(F.max("lsn")).collect()[0][0] // 2
+    work = tempfile.mkdtemp(prefix="cdc_cdf_t_")
+    from cdc_tools_spark.lake.parquet_merge import ParquetMergeTable as PMT
+    from cdc_tools_spark.pipeline import _payload_schema
+
+    PMT.create(spark, os.path.join(work, "t"), _payload_schema(log),
+               num_buckets=16, order_cols=("lsn", "seqval"))
+    table = PMT(spark, os.path.join(work, "t"))
+    for epoch in plan_epochs(log, 4_000):
+        table.merge(log.where(epoch.predicate()), epoch.epoch_id, collect_metrics=False)
+    return table.read_changes(since, since_seqval=1).select(
+        "repo", "path", "commit", "lang", "content", "lsn", "seqval", "change_type"
+    )
+
+
 def q_cdc_table_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The manifest-maintained O(1) high watermark after a full ordered
     replay must equal the data's true max(lsn) — validating that the
@@ -498,6 +520,14 @@ SELECT repo, path, "commit", lang, content, lsn, seqval,
 FROM compacted
 WHERE lsn > (SELECT CAST(floor(max(lsn) / 2.0) AS BIGINT) FROM log)
 """,
+    "cdc_net_changes_tuple": _COMPACTED_CTE
+    + """,
+cur AS (SELECT CAST(floor(max(lsn) / 2.0) AS BIGINT) AS l FROM log)
+SELECT repo, path, "commit", lang, content, lsn, seqval,
+       CASE WHEN change_type = 1 THEN 1 ELSE 2 END AS change_type
+FROM compacted, cur
+WHERE lsn > cur.l OR (lsn = cur.l AND seqval > 1)
+""",
     "cdc_full_load_then_tail": _LOG_CTE
     + """,
 snapshot_events AS (
@@ -793,6 +823,7 @@ def queries() -> dict[str, QueryFn]:
         "cdc_replay_final_state": q_cdc_replay_final_state,
         "cdc_key_lookup": q_cdc_key_lookup,
         "cdc_net_changes": q_cdc_net_changes,
+        "cdc_net_changes_tuple": q_cdc_net_changes_tuple,
         "cdc_table_watermark": q_cdc_table_watermark,
         "cdc_full_load_then_tail": q_cdc_full_load_then_tail,
         "cdc_out_of_order_replay": q_cdc_out_of_order_replay,

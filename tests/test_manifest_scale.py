@@ -290,3 +290,41 @@ def test_v1_full_manifest_upgrades_in_place(spark, tmp_path):
     t2.merge(_obatch(spark, 4, [(1, "a")]), 3)
     t2.expire_tombstones(below_lsn=100, epoch_id=9)
     assert {r["path"] for r in t2.read().collect()} == {"b", "c", "d"}
+
+
+def test_wide_metrics_off_merge_keeps_exact_tombstone_stats(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r4 #4 'done' gate: a metrics-OFF merge touching far more
+    than 16 buckets must still record EXACT per-bucket tombstone stats
+    (footer-pruned read of the just-written directory), so the subsequent
+    expire_tombstones reads only buckets truly holding expired tombstones
+    — the former whole-batch charge flagged every touched bucket."""
+    t = ParquetMergeTable.create(
+        spark, str(tmp_path / "t"), PAYLOAD, num_buckets=64,
+        order_cols=("lsn", "seqval"),
+    )
+    # ONE wide batch: ~64 buckets touched, metrics off, deletes on 2 keys
+    rows = [(2, f"p{i}") for i in range(120)] + [(1, "p3"), (1, "p77")]
+    t.merge(_obatch(spark, 1, rows), 0, collect_metrics=False)
+
+    m = t._load()
+    tomb_buckets = {int(b) for b in m.get("bstats", {})}
+    assert 1 <= len(tomb_buckets) <= 2  # exact: only the delete keys' buckets
+    assert all(s[0] == 1 and s[1] == 1 for s in m["bstats"].values())
+
+    reads = []
+    orig = ParquetMergeTable._read_dirs
+
+    def spy(self, dirs, schema):
+        reads.append(list(dirs))
+        return orig(self, dirs, schema)
+
+    monkeypatch.setattr(ParquetMergeTable, "_read_dirs", spy)
+    t.expire_tombstones(below_lsn=100, epoch_id=9)
+    assert len(reads) == 1
+    got_buckets = {int(d.rsplit("bucket=", 1)[1]) for d in reads[0]}
+    assert got_buckets == tomb_buckets
+    assert t._load().get("bstats", {}) == {}
+    paths = {r["path"] for r in t.read().collect()}
+    assert "p3" not in paths and "p77" not in paths and len(paths) == 118
