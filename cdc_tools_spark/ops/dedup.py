@@ -467,3 +467,52 @@ def keep_list_transitive(
         F.col(id_col),
         (F.col(id_col) == F.col("cluster_id")).alias("kept"),
     )
+
+
+def cluster_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(cluster_id, representative)`` — one deterministic survivor per
+    near-dup cluster. Default: the minimum doc id. With a ``quality``
+    frame (``id_col``, ``score``) — e.g. token counts or a composed
+    quality metric from :mod:`cdc_tools_spark.ops.text` — the HIGHEST
+    scoring member wins, ties broken toward the lower id; docs missing
+    from ``quality`` score 0. One hash aggregation over the cluster map
+    (+ one equi-join when quality is given)."""
+    clusters = dedup_clusters(df, pairs, id_col)
+    if quality is None:
+        return clusters.groupBy("cluster_id").agg(
+            F.min(id_col).alias("representative")
+        )
+    q = quality.select(F.col(id_col), F.col("score").cast("double").alias("_q"))
+    return (
+        clusters.join(q, id_col, "left")
+        .withColumn("_q", F.coalesce("_q", F.lit(0.0)))
+        .groupBy("cluster_id")
+        .agg(
+            F.max_by(
+                F.col(id_col), F.struct(F.col("_q"), (-F.col(id_col)).alias("_n"))
+            ).alias("representative")
+        )
+    )
+
+
+def keep_list_quality(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, kept) under transitive dedup with QUALITY-RANKED survivors:
+    per connected component, the member with the highest quality score
+    (ties to the lower id) is kept — what production pipelines actually do
+    when dropping near-duplicates (keep the best copy, not the first)."""
+    clusters = dedup_clusters(df, pairs, id_col)
+    reps = cluster_representatives(df, pairs, quality, id_col)
+    return clusters.join(reps, "cluster_id").select(
+        F.col(id_col),
+        (F.col(id_col) == F.col("representative")).alias("kept"),
+    )

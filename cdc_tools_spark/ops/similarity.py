@@ -429,3 +429,79 @@ def cosine_pairs_lsh(
         .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
+
+
+def kmeans_train(
+    df: DataFrame,
+    k: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    literal_cap: int = 64,
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column as pure DataFrame ops —
+    the trained-centroid producer for :func:`ivf_assignments` /
+    :func:`topk_cosine_ivf` (which previously only CONSUMED offline
+    k-means output; this closes the loop in-engine).
+
+    Deterministic by construction: init = the vectors with the ``k``
+    smallest ids (swap in k-means|| offline for production quality),
+    similarity = the same round-6 cosine / lower-id tie-break as
+    assignment serving, update = element-wise mean, empty lists keep their
+    previous centroid, and a FIXED ``n_iter`` (no data-dependent stopping)
+    so any engine reproduces the run bit-for-bit up to float summation
+    order.
+
+    Scale shape per iteration: one assignment pass (literal projection at
+    K ≤ ``literal_cap``, broadcast join above — never a shuffle of the
+    corpus), then the centroid update as posexplode → ``groupBy(list,
+    pos)`` avg — map-side partial aggregation collapses the dim×n rows to
+    dim×K per partition, so the update shuffle is slim regardless of
+    corpus size. Centroids are ``localCheckpoint``-ed each iteration (K×dim
+    rows — tiny) to stop the plan doubling per iteration; swap for
+    ``checkpoint()`` on a real cluster.
+
+    Returns ``(list_id int, centroid array<double>)``.
+    """
+    cents = (
+        df.where(F.col(id_col) < k)
+        .select(
+            F.col(id_col).cast("int").alias("list_id"),
+            _as_double(F.col(vec_col)).alias("centroid"),
+        )
+        .localCheckpoint()
+    )
+    vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    for _ in range(max(int(n_iter), 0)):
+        assign = ivf_assignments(
+            df,
+            n_probe=1,
+            id_col=id_col,
+            vec_col=vec_col,
+            centroids=cents.select(
+                F.col("list_id").alias(id_col), F.col("centroid").alias(vec_col)
+            ),
+            literal_cap=literal_cap,
+        ).select(F.col(id_col), "list_id")
+        means = (
+            assign.join(vecs, id_col)
+            .select("list_id", F.posexplode("_v").alias("pos", "val"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("list_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("_new")
+            )
+        )
+        cents = (
+            cents.join(means, "list_id", "left")
+            .select(
+                "list_id",
+                F.coalesce("_new", F.col("centroid")).alias("centroid"),
+            )
+            .localCheckpoint()
+        )
+    return cents

@@ -101,6 +101,17 @@ def q_dedup_keep_list_transitive(spark, sf_dir):
     return D.keep_list_transitive(docs, pairs)
 
 
+def q_dedup_keep_list_quality(spark, sf_dir):
+    """Transitive dedup keeping the BEST copy per cluster, not the first:
+    representative = argmax quality score (BPE-ish token count — an
+    integer, so ranking is float-tie-free), ties to the lower id."""
+    docs, pairs = _neardup(spark, sf_dir)
+    quality = X.quality_features(docs).select(
+        "doc_id", F.col("n_bpe_tokens").cast("double").alias("score")
+    )
+    return D.keep_list_quality(docs, pairs, quality)
+
+
 # -- multimodal ---------------------------------------------------------------
 
 
@@ -194,6 +205,24 @@ def q_ann_topk_ivf_bcast(spark, sf_dir):
     (VERDICT r3 #4). Semantics identical to ann_topk_ivf, so the same
     DuckDB oracle shape checks it at the wider K."""
     return S.topk_cosine_ivf(_emb(spark, sf_dir), k=5, n_lists=256, n_probe=6)
+
+
+def q_ann_kmeans_assign(spark, sf_dir):
+    """In-engine Lloyd's k-means (k=8, 2 fixed iterations, deterministic
+    lowest-id init) followed by assignment serving with the TRAINED
+    centroids — the training loop that produces what ann_topk_ivf
+    previously only consumed. Returns integer (vec_id, list_id): the
+    oracle replays the identical unrolled iterations in SQL, so a
+    divergence anywhere in train-or-serve flips an assignment."""
+    emb = _emb(spark, sf_dir)
+    cents = S.kmeans_train(emb, k=8, n_iter=2)
+    return S.ivf_assignments(
+        emb,
+        n_probe=1,
+        centroids=cents.select(
+            F.col("list_id").alias("vec_id"), F.col("centroid").alias("embedding")
+        ),
+    ).select("vec_id", F.col("list_id").cast("long").alias("list_id"))
 
 
 def q_ann_topk_lsh(spark, sf_dir):
@@ -437,6 +466,22 @@ FROM clusters GROUP BY cluster_id
     + """
 SELECT doc_id, (doc_id = cluster_id) AS kept FROM clusters
 """,
+    "dedup_keep_list_quality": _RECURSIVE_SHINGLE_CTE + _NEARDUP_CTE + _CLUSTER_CTE
+    + r""",
+q AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS DOUBLE)
+      AS score
+  FROM documents),
+reps AS (
+  SELECT cluster_id, doc_id AS representative FROM (
+    SELECT c.cluster_id, c.doc_id,
+      row_number() OVER (
+        PARTITION BY c.cluster_id ORDER BY q.score DESC, c.doc_id) AS rn
+    FROM clusters c JOIN q ON q.doc_id = c.doc_id) WHERE rn = 1)
+SELECT c.doc_id, (c.doc_id = r.representative) AS kept
+FROM clusters c JOIN reps r ON r.cluster_id = c.cluster_id
+""",
     "dedup_simhash": r"""
 WITH tok_d AS (
   SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
@@ -586,6 +631,50 @@ ORACLES["ann_topk_ivf_bcast"] = ORACLES["ann_topk_ivf"].replace(
 )
 
 
+def _kmeans_oracle(k: int, iters: int) -> str:
+    """Unrolled Lloyd's iterations as CTEs — the SQL twin of
+    ops.similarity.kmeans_train + one serving assignment. Each iteration:
+    round-6 cosine argmax (ties to the lower list id), element-wise mean
+    update, empty lists keep their previous centroid (per-pos COALESCE —
+    equivalent to the engine's whole-array fallback since a non-empty list
+    updates every position)."""
+    sql = _FLAT_CTE + f""",
+c0 AS (SELECT vec_id AS list_id, pos, val FROM flat WHERE vec_id < {k})"""
+    prev = "c0"
+    for i in range(1, iters + 2):  # iters updates + 1 final serving assign
+        sql += f""",
+dots{i} AS (
+  SELECT f.vec_id, c.list_id, sum(f.val * c.val) AS dp,
+         sqrt(sum(c.val * c.val)) AS cnrm
+  FROM flat f JOIN {prev} c ON c.pos = f.pos
+  GROUP BY f.vec_id, c.list_id),
+asg{i} AS (
+  SELECT vec_id, list_id FROM (
+    SELECT d.vec_id, d.list_id,
+      row_number() OVER (
+        PARTITION BY d.vec_id
+        ORDER BY round(d.dp / (n.nrm * d.cnrm), 6) DESC, d.list_id) AS rn
+    FROM dots{i} d JOIN norms n ON n.vec_id = d.vec_id) WHERE rn = 1)"""
+        if i <= iters:
+            sql += f""",
+c{i} AS (
+  SELECT p.list_id, p.pos, COALESCE(u.m, p.val) AS val
+  FROM {prev} p
+  LEFT JOIN (
+    SELECT a.list_id, f.pos, avg(f.val) AS m
+    FROM asg{i} a JOIN flat f ON f.vec_id = a.vec_id
+    GROUP BY a.list_id, f.pos) u
+  ON u.list_id = p.list_id AND u.pos = p.pos)"""
+            prev = f"c{i}"
+    sql += f"""
+SELECT vec_id, list_id FROM asg{iters + 1}
+"""
+    return sql
+
+
+ORACLES["ann_kmeans_assign"] = _kmeans_oracle(k=8, iters=2)
+
+
 def queries():
     return {
         "text_quality": q_text_quality,
@@ -599,6 +688,7 @@ def queries():
         "dedup_clusters": q_dedup_clusters,
         "dedup_cluster_stats": q_dedup_cluster_stats,
         "dedup_keep_list_transitive": q_dedup_keep_list_transitive,
+        "dedup_keep_list_quality": q_dedup_keep_list_quality,
         "dedup_simhash": q_dedup_simhash,
         "mm_feature_extract": q_mm_feature_extract,
         "mm_frame_sample": q_mm_frame_sample,
@@ -607,6 +697,7 @@ def queries():
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_ivf_bcast": q_ann_topk_ivf_bcast,
+        "ann_kmeans_assign": q_ann_kmeans_assign,
     }
 
 

@@ -115,3 +115,64 @@ def test_empty_and_self_pairs(spark):
     selfp = _pairs_df(spark, [(1, 1)])
     got = {tuple(r) for r in dedup_clusters(docs, selfp).collect()}
     assert got == {(1, 1), (2, 2)}
+
+
+def test_quality_ranked_representatives(spark):
+    edges = [(1, 2), (2, 3), (5, 6)]
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 6]], schema="doc_id long")
+    pairs = _pairs_df(spark, edges)
+    # quality: 2 beats 1 and 3; 5 and 6 tie -> lower id (5) wins; 4 unscored
+    quality = spark.createDataFrame(
+        [(1, 10.0), (2, 99.0), (3, 50.0), (5, 7.0), (6, 7.0)],
+        schema="doc_id long, score double",
+    )
+    from cdc_tools_spark.ops.dedup import cluster_representatives, keep_list_quality
+
+    reps = {r["cluster_id"]: r["representative"]
+            for r in cluster_representatives(docs, pairs, quality).collect()}
+    assert reps == {1: 2, 4: 4, 5: 5}
+    kept = {r["doc_id"]: r["kept"] for r in keep_list_quality(docs, pairs, quality).collect()}
+    assert kept == {1: False, 2: True, 3: False, 4: True, 5: True, 6: False}
+    # default (no quality): min-id representative
+    reps_min = {r["cluster_id"]: r["representative"]
+                for r in cluster_representatives(docs, pairs).collect()}
+    assert reps_min == {1: 1, 4: 4, 5: 5}
+
+
+def test_kmeans_train_properties(spark):
+    from cdc_tools_spark.ops.similarity import ivf_assignments, kmeans_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c0 = kmeans_train(emb, k=8, n_iter=0)  # init only = the 8 lowest-id vecs
+    got0 = {r["list_id"]: [round(x, 6) for x in r["centroid"]] for r in c0.collect()}
+    raw = {int(r["vec_id"]): [round(float(x), 6) for x in r["embedding"]]
+           for r in emb.where("vec_id < 8").collect()}
+    assert got0 == raw
+
+    c2a = kmeans_train(emb, k=8, n_iter=2)
+    c2b = kmeans_train(emb, k=8, n_iter=2)
+    key = lambda df: sorted(
+        (r["list_id"], tuple(round(x, 9) for x in r["centroid"])) for r in df.collect()
+    )
+    assert key(c2a) == key(c2b)  # deterministic run-to-run
+
+    # training reduces mean within-cluster distance vs the untrained init
+    def mean_cos(cents):
+        a = ivf_assignments(
+            emb, n_probe=1,
+            centroids=cents.selectExpr("list_id as vec_id", "centroid as embedding"),
+        )
+        from cdc_tools_spark.ops.similarity import _as_double, cosine
+        import pyspark.sql.functions as F
+        joined = (
+            a.join(emb, "vec_id")
+            .join(
+                cents.withColumnRenamed("list_id", "list_id2"),
+                F.col("list_id") == F.col("list_id2"),
+            )
+        )
+        return joined.agg(
+            F.avg(cosine(F.col("embedding"), F.col("centroid")))
+        ).first()[0]
+
+    assert mean_cos(c2a) > mean_cos(c0)
