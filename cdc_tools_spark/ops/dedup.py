@@ -158,6 +158,40 @@ def minhash_signatures(
     )
 
 
+def lsh_band_index(
+    df: DataFrame,
+    num_hashes: int = 32,
+    rows_per_band: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, band_key) — the corpus's LSH index as a DataFrame: one
+    aggregation for the signature matrix, then a pure projection. The
+    PERSISTABLE artifact of incremental dedup: write it once (bucketed by
+    ``(band, band_key)`` in production so the arriving-batch probe join
+    co-locates), then every new batch joins against it instead of
+    re-banding the corpus."""
+    sig = minhash_signatures_wide(df, num_hashes, n, text_col, id_col)
+    n_bands = num_hashes // rows_per_band
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"mh_{s}")
+                    for s in range(b * rows_per_band, (b + 1) * rows_per_band)
+                ],
+            )
+        )
+        for b in range(n_bands)
+    ]
+    return sig.select(
+        F.col(id_col),
+        F.posexplode(F.array(*band_keys)).alias("band", "band_key"),
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     num_hashes: int = 32,
@@ -174,24 +208,7 @@ def minhash_lsh_candidates(
     rows), the self-join runs per band-key bucket, and no all-pairs
     comparison ever happens. Total: one shuffle for signatures + the
     band-key equi-join."""
-    sig = minhash_signatures_wide(df, num_hashes, n, text_col, id_col)
-    n_bands = num_hashes // rows_per_band
-    band_keys = [
-        F.md5(
-            F.concat_ws(
-                ",",
-                *[
-                    F.col(f"mh_{s}")
-                    for s in range(b * rows_per_band, (b + 1) * rows_per_band)
-                ],
-            )
-        )
-        for b in range(n_bands)
-    ]
-    bands = sig.select(
-        F.col(id_col),
-        F.posexplode(F.array(*band_keys)).alias("band", "band_key"),
-    )
+    bands = lsh_band_index(df, num_hashes, rows_per_band, n, text_col, id_col)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -515,4 +532,108 @@ def keep_list_quality(
     return clusters.join(reps, "cluster_id").select(
         F.col(id_col),
         (F.col(id_col) == F.col("representative")).alias("kept"),
+    )
+
+
+# -- incremental (arriving-batch) dedup --------------------------------------
+
+
+def minhash_lsh_candidates_incremental(
+    new_df: DataFrame,
+    corpus_index: DataFrame,
+    num_hashes: int = 32,
+    rows_per_band: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate pairs INVOLVING the arriving batch: new×corpus (a band-key
+    equi-join of the batch's bands against the stored
+    :func:`lsh_band_index` — O(|batch| × matched buckets), the corpus is
+    never re-banded or self-joined) plus new×new. This is how a 100-TB
+    pipeline dedups a daily increment: the full-corpus self-join happens
+    once at bootstrap; afterwards every batch pays only for itself.
+
+    Discovery is EXACTLY the subset of the full-corpus LSH candidates that
+    touch the batch (band keys are per-doc, sharing one is symmetric), so
+    the batch-wise union over a partition of the corpus reproduces the
+    batch-at-once result. Assumes batch and corpus ids are disjoint."""
+    nb = lsh_band_index(new_df, num_hashes, rows_per_band, n, text_col, id_col)
+    new_side = nb.select("band", "band_key", F.col(id_col).alias("_new"))
+    old_side = corpus_index.select("band", "band_key", F.col(id_col).alias("_old"))
+    cross = (
+        new_side.join(old_side, ["band", "band_key"])
+        .where(F.col("_new") != F.col("_old"))
+        .select(
+            F.least("_new", "_old").alias("doc_a"),
+            F.greatest("_new", "_old").alias("doc_b"),
+        )
+    )
+    a = nb.alias("a")
+    b = nb.alias("b")
+    within = (
+        a.join(b, ["band", "band_key"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+    )
+    return cross.unionByName(within).distinct()
+
+
+def neardup_pairs_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    num_hashes: int = 32,
+    rows_per_band: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    corpus_index: DataFrame | None = None,
+) -> DataFrame:
+    """Verified near-dup pairs (Jaccard ≥ threshold) involving the
+    arriving batch. Discovery via
+    :func:`minhash_lsh_candidates_incremental`; the exact-Jaccard verify
+    reads shingles of the batch plus ONLY the corpus docs that appear in a
+    candidate (semi-join) — O(batch + candidates), never O(corpus).
+
+    ``corpus_index`` takes the persisted band index; omitted, it is
+    derived from ``corpus_df`` (bootstrap path)."""
+    if corpus_index is None:
+        corpus_index = lsh_band_index(
+            corpus_df, num_hashes, rows_per_band, n, text_col, id_col
+        )
+    cand = minhash_lsh_candidates_incremental(
+        new_df, corpus_index, num_hashes, rows_per_band, n, text_col, id_col
+    )
+    cand_ids = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .union(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    touched = new_df.unionByName(corpus_df.join(cand_ids, id_col, "left_semi"))
+    sh = word_shingles(touched, n, text_col, id_col)
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
     )

@@ -101,6 +101,21 @@ def q_dedup_keep_list_transitive(spark, sf_dir):
     return D.keep_list_transitive(docs, pairs)
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Arriving-batch dedup (docs with doc_id % 10 == 0 play the daily
+    increment): new x corpus candidates via a probe join against the
+    corpus's persisted LSH band index + new x new, then exact-Jaccard
+    verify reading only the batch and candidate corpus docs. The oracle is
+    the FULL-corpus pipeline filtered to pairs touching the batch —
+    passing proves incremental == batch-at-once."""
+    docs = _docs(spark, sf_dir)
+    new = docs.where((F.col("doc_id") % 10) == 0)
+    corpus = docs.where((F.col("doc_id") % 10) != 0)
+    return D.neardup_pairs_incremental(
+        new, corpus, num_hashes=32, rows_per_band=4, threshold=0.5
+    )
+
+
 def q_dedup_keep_list_quality(spark, sf_dir):
     """Transitive dedup keeping the BEST copy per cluster, not the first:
     representative = argmax quality score (BPE-ish token count — an
@@ -466,6 +481,11 @@ FROM clusters GROUP BY cluster_id
     + """
 SELECT doc_id, (doc_id = cluster_id) AS kept FROM clusters
 """,
+    "dedup_incremental": _SHINGLE_CTE + _NEARDUP_CTE
+    + """
+SELECT doc_a, doc_b, jaccard FROM verified
+WHERE doc_a % 10 = 0 OR doc_b % 10 = 0
+""",
     "dedup_keep_list_quality": _RECURSIVE_SHINGLE_CTE + _NEARDUP_CTE + _CLUSTER_CTE
     + r""",
 q AS (
@@ -689,6 +709,7 @@ def queries():
         "dedup_cluster_stats": q_dedup_cluster_stats,
         "dedup_keep_list_transitive": q_dedup_keep_list_transitive,
         "dedup_keep_list_quality": q_dedup_keep_list_quality,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_simhash": q_dedup_simhash,
         "mm_feature_extract": q_mm_feature_extract,
         "mm_frame_sample": q_mm_frame_sample,

@@ -176,3 +176,42 @@ def test_kmeans_train_properties(spark):
         ).first()[0]
 
     assert mean_cos(c2a) > mean_cos(c0)
+
+
+def test_incremental_neardup_equals_batch_at_once(spark, tmp_path):
+    """Incremental discovery+verify over (batch, corpus) must reproduce
+    exactly the full-corpus pipeline's pairs that touch the batch — and
+    the corpus index must survive a parquet round trip (the persisted
+    form a production pipeline would probe)."""
+    from cdc_tools_spark.ops.dedup import (
+        lsh_band_index,
+        neardup_pairs,
+        neardup_pairs_incremental,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    new = docs.where((F.col("doc_id") % 7) == 0)
+    corpus = docs.where((F.col("doc_id") % 7) != 0)
+
+    full = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in neardup_pairs(docs, threshold=0.3).collect()
+        if r["doc_a"] % 7 == 0 or r["doc_b"] % 7 == 0
+    }
+    inc = {
+        tuple(r)
+        for r in neardup_pairs_incremental(new, corpus, threshold=0.3).collect()
+    }
+    assert inc == full and len(inc) > 0
+
+    # persisted-index path: write/read the band index, probe against it
+    idx_path = str(tmp_path / "band_index")
+    lsh_band_index(corpus).write.parquet(idx_path)
+    inc2 = {
+        tuple(r)
+        for r in neardup_pairs_incremental(
+            new, corpus, threshold=0.3,
+            corpus_index=spark.read.parquet(idx_path),
+        ).collect()
+    }
+    assert inc2 == full
