@@ -193,6 +193,9 @@ def main() -> None:
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "dedup_clusters",
+        "dedup_incremental",
+        "ann_kmeans_assign",
         "text_quality",
     ):
         fn = q.queries()[name]

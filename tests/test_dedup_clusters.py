@@ -215,3 +215,16 @@ def test_incremental_neardup_equals_batch_at_once(spark, tmp_path):
         ).collect()
     }
     assert inc2 == full
+
+
+def test_cluster_plans_have_no_cartesian_or_bnlj(spark):
+    """Scale gate: every join in the clustering path is an equi-join —
+    no CartesianProduct / BroadcastNestedLoopJoin anywhere in the final
+    assignment plan (the same plan-inspection contract the registered
+    ANN queries carry)."""
+    edges = [(i, i + 1) for i in range(1, 30)]
+    docs = spark.createDataFrame([(i,) for i in range(1, 40)], schema="doc_id long")
+    out = dedup_clusters(docs, _pairs_df(spark, edges))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
