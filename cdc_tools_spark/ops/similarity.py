@@ -505,3 +505,118 @@ def kmeans_train(
             .localCheckpoint()
         )
     return cents
+
+
+def ivf_index_write(
+    df: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | DataFrame | None = None,
+) -> None:
+    """Materialize an IVF index on storage: vectors land PARTITIONED BY
+    their coarse list (``path/vectors/list_id=K/``) with the centroid
+    table as a sidecar (``path/centroids``). This is the inverted-file
+    layout every at-scale ANN store uses — the "index" is nothing more
+    exotic than directory partitioning, so probes prune to their lists'
+    directories via ordinary partition pruning and a 100-TB corpus serves
+    a query from ``n_probe / n_lists`` of its bytes.
+
+    Pass ``centroids`` (e.g. :func:`kmeans_train` output) or let the
+    deterministic stand-in pick them. Rebuild cadence is the caller's:
+    append new batches with the SAME centroid sidecar (assignments stay
+    consistent), retrain + rewrite when drift accumulates."""
+    if centroids is None:
+        centroids = ivf_centroids(df, n_lists, id_col, vec_col)
+    if not isinstance(centroids, DataFrame):
+        centroids = df.sparkSession.createDataFrame(
+            [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
+            f"{id_col} long, {vec_col} array<double>",
+        )
+    cents = centroids.select(
+        F.col(id_col).cast("long").alias("list_id"),
+        _as_double(F.col(vec_col)).alias("centroid"),
+    )
+    cents.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+    assign = ivf_assignments(
+        df,
+        n_probe=1,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroids=cents.select(
+            F.col("list_id").alias(id_col), F.col("centroid").alias(vec_col)
+        ),
+    ).select(F.col(id_col), F.col("list_id").cast("long").alias("list_id"))
+    (
+        df.join(assign, id_col)
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(path + "/vectors")
+    )
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve approximate top-k from a persisted :func:`ivf_index_write`
+    index: assign each query to its ``n_probe`` nearest lists (centroids
+    from the sidecar), STATICALLY filter the vectors read to the probed
+    ``list_id`` partitions, and exact-cosine re-rank within them.
+
+    The probed list ids are collected to the driver (bounded:
+    ≤ |queries| × n_probe ints — for the common small query batch, a
+    handful) so the filter is a literal ``IN`` the file index resolves to
+    partition pruning BEFORE any data is read: the scan's
+    ``PartitionFilters`` carries it, and only the probed directories'
+    files are touched. Results match :func:`topk_cosine_ivf` for the same
+    centroids/probes (asserted in tests); self-matches are excluded by
+    id."""
+    from pyspark.sql import Window
+
+    cents = spark.read.parquet(path + "/centroids")
+    probes = ivf_assignments(
+        queries,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroids=cents.select(
+            F.col("list_id").alias(id_col), F.col("centroid").alias(vec_col)
+        ),
+    ).select(F.col(id_col).alias("id_a"), F.col("list_id").cast("long").alias("list_id"))
+    probed = sorted(
+        {int(r["list_id"]) for r in probes.select("list_id").distinct().collect()}
+    )
+    base = (
+        spark.read.parquet(path + "/vectors")
+        .where(F.col("list_id").isin(probed))
+        .select(
+            F.col(id_col).alias("id_b"),
+            F.col("list_id"),
+            _as_double(F.col(vec_col)).alias("vb"),
+        )
+    )
+    qv = queries.select(
+        F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va")
+    )
+    # a base vector lives in exactly ONE list and probes has distinct
+    # (id_a, list_id) rows, so the candidate pairs are already unique —
+    # no distinct, and vb rides the probe join
+    scored = (
+        probes.join(base, "list_id")
+        .where(F.col("id_a") != F.col("id_b"))
+        .join(qv, "id_a")
+        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("cos").desc(), F.col("id_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id_a", "id_b", "cos", F.col("rank").cast("long").alias("rank"))
+    )

@@ -222,6 +222,21 @@ def q_ann_topk_ivf_bcast(spark, sf_dir):
     return S.topk_cosine_ivf(_emb(spark, sf_dir), k=5, n_lists=256, n_probe=6)
 
 
+def q_ann_topk_ivf_index(spark, sf_dir):
+    """Persisted-IVF serving twin of ann_topk_ivf: write the corpus as a
+    list_id-partitioned index + centroid sidecar, then serve top-k with
+    the probed lists statically pruned at the file index (the scan's
+    PartitionFilters — plan-asserted in tests). Same centroids/probes as
+    ann_topk_ivf, so the same oracle checks storage round-trip + pruned
+    serving end to end."""
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="ivf_index_")
+    S.ivf_index_write(emb, work, n_lists=16)
+    return S.ivf_index_topk(spark, work, emb, k=5, n_probe=6)
+
+
 def q_ann_kmeans_assign(spark, sf_dir):
     """In-engine Lloyd's k-means (k=8, 2 fixed iterations, deterministic
     lowest-id init) followed by assignment serving with the TRAINED
@@ -694,6 +709,10 @@ SELECT vec_id, list_id FROM asg{iters + 1}
 
 ORACLES["ann_kmeans_assign"] = _kmeans_oracle(k=8, iters=2)
 
+# persisted-index serving is semantically identical to the in-memory IVF
+# (same centroids, probes, re-rank): the oracle is shared
+ORACLES["ann_topk_ivf_index"] = ORACLES["ann_topk_ivf"]
+
 
 def queries():
     return {
@@ -719,6 +738,7 @@ def queries():
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_ivf_bcast": q_ann_topk_ivf_bcast,
         "ann_kmeans_assign": q_ann_kmeans_assign,
+        "ann_topk_ivf_index": q_ann_topk_ivf_index,
     }
 
 

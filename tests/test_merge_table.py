@@ -505,6 +505,11 @@ def test_read_changes_tuple_cursor_resumes_mid_transaction(spark, tmp_path):
     }
     # cursor (5, 3): only the next transaction remains
     assert {r["path"] for r in t.read_changes(5, since_seqval=3).collect()} == {"d"}
+    # the tuple predicate reaches the parquet scan: prunable lsn bound +
+    # exact disjunct both in PushedFilters
+    plan = t.read_changes(5, since_seqval=1)._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(lsn,5)" in plan
+    assert "Or(GreaterThan(lsn,5),GreaterThan(seqval,1))" in plan
     # tuple cursor at the head of the txn == plain lsn cursor semantics
     assert (
         sorted(map(tuple, t.read_changes(4, since_seqval=3).collect()))

@@ -318,3 +318,44 @@ def test_ngram_jaccard_stop_shingle_cap_bounds_candidates(spark):
     got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
            for r in ngram_jaccard_pairs(docs2, n=3, threshold=0.5, max_doc_freq=10).collect()}
     assert (5, 100) in got and got[(5, 100)] == 1.0
+
+
+def test_ivf_index_serving_prunes_partitions_and_matches_in_memory(spark, tmp_path):
+    """Persisted IVF index: (a) the vectors land partitioned by list_id
+    with a centroid sidecar; (b) serving a SMALL query batch statically
+    prunes the scan to the probed lists (PartitionFilters + inputFiles
+    confined to those directories); (c) results are bit-identical to the
+    in-memory topk_cosine_ivf for the same centroids and probes."""
+    import os
+
+    from cdc_tools_spark.ops.similarity import (
+        ivf_centroids,
+        ivf_index_topk,
+        ivf_index_write,
+        topk_cosine_ivf,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    root = str(tmp_path / "ivf")
+    ivf_index_write(emb, root, n_lists=16)
+    dirs = {d for d in os.listdir(root + "/vectors") if d.startswith("list_id=")}
+    assert len(dirs) > 1  # really partitioned
+
+    queries = emb.where(F.col("vec_id").isin([7, 123, 400]))
+    out = ivf_index_topk(spark, root, queries, k=5, n_probe=3)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = out._jdf.queryExecution().explainString(mode)
+    import re
+
+    pf = re.search(r"PartitionFilters: \[list_id[^ ]* IN \(([^)]*)\)", plan)
+    assert pf, "no static partition filter on the index scan"
+    probed = {int(x) for x in pf.group(1).split(",")}
+    # <= 3 queries x 3 probes lists, strictly fewer than all 16
+    assert 1 <= len(probed) <= 9 < len(dirs)
+
+    rows = out.collect()
+    full = topk_cosine_ivf(
+        emb, k=5, n_lists=16, n_probe=3, centroids=ivf_centroids(emb, 16)
+    ).where(F.col("id_a").isin([7, 123, 400])).collect()
+    key = lambda rs: sorted((r["id_a"], r["rank"], r["id_b"], r["cos"]) for r in rs)
+    assert key(rows) == key(full)
