@@ -612,7 +612,15 @@ def neardup_pairs_incremental(
         .union(cand.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    touched = new_df.unionByName(corpus_df.join(cand_ids, id_col, "left_semi"))
+    # anti-join guard: if the corpus already holds a batch doc (a replayed
+    # micro-batch re-deduping against artifacts it wrote before crashing),
+    # keep the BATCH copy only — a doc present twice would double its
+    # (doc, shingle) rows and corrupt the Jaccard denominators
+    touched = new_df.unionByName(
+        corpus_df.join(cand_ids, id_col, "left_semi").join(
+            new_df.select(id_col), id_col, "left_anti"
+        )
+    )
     sh = word_shingles(touched, n, text_col, id_col)
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
