@@ -378,7 +378,12 @@ class CommitLog:
                 EpochCommit(**json.loads(fsio.read_text(self._path(loose[-1]))))
             )
         if chunks:
-            tail = max(self._chunk_records(chunks[-1]), key=lambda r: r["epoch"])
+            # the newest chunk is the one with the highest RANGE END, not
+            # the last in (lo, hi) sort order: stale-marker repair rolls
+            # can leave overlapping ranges where a wider earlier-lo chunk
+            # holds the true newest epoch
+            newest = max(chunks, key=lambda n: self._chunk_range(n)[1])
+            tail = max(self._chunk_records(newest), key=lambda r: r["epoch"])
             candidates.append(EpochCommit(**tail))
         if not candidates:
             return None  # the reference's NoStoredState sentinel

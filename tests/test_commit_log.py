@@ -240,3 +240,57 @@ def test_newest_mtime_sees_files_under_directory(tmp_path):
     # newest_mtime ignores the stale dir entry and finds the fresh file
     assert fsio.newest_mtime(str(tmp_path / "v-dir")) > _time.time() - 60
     assert fsio.newest_mtime(str(tmp_path / "missing")) == 0.0
+
+
+def test_lifecycle_interleavings_preserve_history(tmp_path):
+    """Property: random interleavings of commit / roll / compact /
+    crash-mid-roll (chunk created, markers kept) / stale-second-driver
+    marker re-creation preserve EXACT committed history and a
+    never-regressing resume point. Derandomized schedules (pure fs ops —
+    no Spark), mirroring the maintenance property suite's approach."""
+    import random
+    from dataclasses import asdict
+
+    for seed in range(40):
+        rng = random.Random(seed)
+        root = tmp_path / f"s{seed}"
+        log = CommitLog(str(root), "run-x", roll_every=4,
+                        compact_min_chunks=3, compact_max_records=16)
+        committed = []
+        next_epoch = 0
+        for _ in range(rng.randrange(10, 60)):
+            op = rng.random()
+            if op < 0.6:
+                log.commit(_rec(next_epoch))
+                committed.append(next_epoch)
+                next_epoch += 1
+            elif op < 0.7:
+                log.roll()
+            elif op < 0.8:
+                log.compact_chunks(max_records=rng.choice([4, 16, 10**6]))
+            elif op < 0.9 and committed:
+                # crash-mid-roll artifact: chunk exists AND its markers do —
+                # fabricate by re-creating a rolled epoch's loose marker
+                e = rng.choice(committed)
+                fsio.create_exclusive_json(log._path(e), asdict(_rec(e)), indent=None)
+            else:
+                # stale second driver: fresh instance (cold caches) commits
+                # the next epoch or re-rolls
+                other = CommitLog(str(root), "run-x", roll_every=4,
+                                  compact_min_chunks=3, compact_max_records=16)
+                if committed and rng.random() < 0.5:
+                    other.roll()
+                else:
+                    other.commit(_rec(next_epoch))
+                    committed.append(next_epoch)
+                    next_epoch += 1
+            # invariants hold at EVERY step, from a cold reader
+            fresh = CommitLog(str(root), "run-x")
+            assert fresh.committed_epochs() == committed, f"seed {seed}"
+            if committed:
+                assert fresh.last_committed().epoch == committed[-1], f"seed {seed}"
+                recs = fresh.records()
+                assert [r.epoch for r in recs] == committed
+                assert all(r.applied_upserts == r.epoch % 7 for r in recs)
+            else:
+                assert fresh.last_committed() is None
