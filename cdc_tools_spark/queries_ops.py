@@ -237,6 +237,18 @@ def q_ann_topk_ivf_index(spark, sf_dir):
     return S.ivf_index_topk(spark, work, emb, k=5, n_probe=6)
 
 
+def q_embed_quantize(spark, sf_dir):
+    """Symmetric per-vector int8 quantization — the 4x storage shrink an
+    at-scale embedding corpus rides. Codes are serialized to a CSV string
+    (engine-agnostic array compare); scale rounds at 6."""
+    q = S.quantize_embeddings(_emb(spark, sf_dir))
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.concat_ws(",", F.col("qvec").cast("array<string>")).alias("q_csv"),
+    )
+
+
 def q_ann_kmeans_assign(spark, sf_dir):
     """In-engine Lloyd's k-means (k=8, 2 fixed iterations, deterministic
     lowest-id init) followed by assignment serving with the TRAINED
@@ -709,6 +721,20 @@ SELECT vec_id, list_id FROM asg{iters + 1}
 
 ORACLES["ann_kmeans_assign"] = _kmeans_oracle(k=8, iters=2)
 
+ORACLES["embed_quantize"] = _FLAT_CTE + """,
+scales AS (SELECT vec_id, max(abs(val)) / 127.0 AS scale FROM flat GROUP BY vec_id),
+codes AS (
+  SELECT f.vec_id,
+    CASE WHEN s.scale <= 0 THEN 0
+         ELSE GREATEST(-127, LEAST(127, CAST(round(f.val / s.scale) AS INT)))
+    END AS q, f.pos
+  FROM flat f JOIN scales s ON s.vec_id = f.vec_id)
+SELECT c.vec_id, round(s.scale, 6) AS scale,
+       string_agg(CAST(c.q AS VARCHAR), ',' ORDER BY c.pos) AS q_csv
+FROM codes c JOIN scales s ON s.vec_id = c.vec_id
+GROUP BY c.vec_id, s.scale
+"""
+
 # persisted-index serving is semantically identical to the in-memory IVF
 # (same centroids, probes, re-rank): the oracle is shared
 ORACLES["ann_topk_ivf_index"] = ORACLES["ann_topk_ivf"]
@@ -739,6 +765,7 @@ def queries():
         "ann_topk_ivf_bcast": q_ann_topk_ivf_bcast,
         "ann_kmeans_assign": q_ann_kmeans_assign,
         "ann_topk_ivf_index": q_ann_topk_ivf_index,
+        "embed_quantize": q_embed_quantize,
     }
 
 

@@ -359,3 +359,66 @@ def test_ivf_index_serving_prunes_partitions_and_matches_in_memory(spark, tmp_pa
     ).where(F.col("id_a").isin([7, 123, 400])).collect()
     key = lambda rs: sorted((r["id_a"], r["rank"], r["id_b"], r["cos"]) for r in rs)
     assert key(rows) == key(full)
+
+
+def test_quantize_roundtrip_and_search_fidelity(spark):
+    """int8 quantize: (a) codes bounded in [-127,127], zero-vector safe;
+    (b) dequantized reconstruction error <= scale/2 per dimension;
+    (c) quantized cosine search reproduces exact top-1 for nearly all
+    queries (cosine is scale-invariant; only rounding noise differs);
+    (d) the projection plan has no shuffle and no UDF."""
+    from cdc_tools_spark.ops.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+        topk_cosine,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    zero = spark.createDataFrame(
+        [(9999, [0.0] * 64)], schema="vec_id long, embedding array<double>"
+    ).select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    q = quantize_embeddings(emb.unionByName(zero))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+    rows = q.collect()
+    assert all(-127 <= v <= 127 for r in rows for v in r["qvec"])
+    zq = next(r for r in rows if r["vec_id"] == 9999)
+    assert zq["scale"] == 0.0 and set(zq["qvec"]) == {0}
+
+    deq = dequantize_embeddings(q)
+    err = (
+        deq.withColumnRenamed("embedding", "xhat")
+        .join(emb.unionByName(zero), "vec_id")
+        .select(
+            F.aggregate(
+                F.zip_with(
+                    F.col("xhat"),
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    lambda a, b: F.abs(a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            ).alias("e"),
+            F.col("vec_id"),
+        )
+        .join(q.select("vec_id", "scale"), "vec_id")
+        .where(F.col("e") > F.col("scale") / 2 + 1e-9)
+        .count()
+    )
+    assert err == 0
+
+    sample = emb.where(F.col("vec_id") < 40)
+    exact = {r["id_a"]: r["id_b"] for r in topk_cosine(emb, k=1, queries=sample).collect()}
+    qtop = {
+        r["id_a"]: r["id_b"]
+        for r in topk_cosine(
+            dequantize_embeddings(quantize_embeddings(emb)),
+            k=1,
+            queries=dequantize_embeddings(quantize_embeddings(sample)),
+        ).collect()
+    }
+    agree = sum(exact[k] == qtop.get(k) for k in exact) / len(exact)
+    assert agree >= 0.9, f"top-1 agreement {agree}"
