@@ -108,3 +108,106 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias("fingerprint"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(doc_id, chunk_id, chunk_text, n_tokens)`` — fixed-size token
+    windows with overlap, the standard pre-training chunking pass: stride
+    = ``chunk_tokens − overlap``; a doc of n tokens yields
+    ``1 + ceil((n − chunk_tokens) / stride)`` chunks (one if it fits), the
+    last possibly short; empty docs yield none.
+
+    Array-native and integer-exact: tokenize once, window via
+    ``transform(sequence(...), slice)``, ``posexplode`` — a linear
+    projection with no shuffle and no floating point anywhere, so any
+    engine reproduces it bit-for-bit."""
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # integer ceil via (x + stride - 1) div stride; Spark '/' on ints is
+    # double division, so floor() lands back on the integer
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+            F.lit(1) + F.floor((n - chunk_tokens + stride - 1) / F.lit(stride))
+        )
+    ).cast("long")
+    windows = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda c: F.slice(toks, c * stride + 1, chunk_tokens),
+    )
+    out = df.where(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col),
+        F.posexplode(windows).alias("chunk_id", "_w"),
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.concat_ws(" ", F.col("_w")).alias("chunk_text"),
+        F.size("_w").cast("long").alias("n_tokens"),
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    salt: str = "v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(doc_id, split)`` — deterministic train/val/test assignment: the
+    first 8 md5 hex chars of ``salt:id`` map to u ∈ [0, 1), assigned by
+    cumulative weight. Per-id (not per-count), so membership is STABLE as
+    the corpus grows — a doc never migrates between splits when new data
+    arrives, the property a training pipeline actually needs. md5-based,
+    hence bit-reproducible in any engine."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    acc = 0.0
+    expr = None
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = (
+        F.lit(names[-1])
+        if expr is None
+        else expr.otherwise(F.lit(names[-1]))
+    )
+    return df.select(F.col(id_col), expr.alias("split"))
+
+
+def deterministic_sample(
+    df: DataFrame,
+    rate: float,
+    salt: str = "v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic Bernoulli(rate) subset by the same md5-uniform as
+    :func:`hash_split` — reproducible across engines, runs and corpus
+    growth (unlike ``df.sample``, whose output depends on partitioning).
+    Compose mixes by sampling each source at its own rate before union."""
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    return df.where(u < F.lit(float(rate)))

@@ -127,6 +127,30 @@ def q_dedup_keep_list_quality(spark, sf_dir):
     return D.keep_list_quality(docs, pairs, quality)
 
 
+def q_text_chunking(spark, sf_dir):
+    """Pre-training chunking: 64-token windows, 8-token overlap — integer-
+    exact token windows (no float anywhere), chunk text fingerprinted by
+    md5 so the compare stays compact."""
+    chunks = X.chunk_documents(_docs(spark, sf_dir), chunk_tokens=64, overlap=8)
+    return chunks.select(
+        "doc_id", "chunk_id", F.md5("chunk_text").alias("chunk_md5"), "n_tokens"
+    )
+
+
+def q_corpus_split_sample(spark, sf_dir):
+    """Deterministic corpus management: md5-uniform train/val/test split +
+    an independent 20% Bernoulli sample flag, both stable under corpus
+    growth and bit-reproducible in SQL."""
+    docs = _docs(spark, sf_dir)
+    split = X.hash_split(docs, {"train": 0.9, "val": 0.05, "test": 0.05}, salt="v1")
+    sampled = X.deterministic_sample(docs, rate=0.2, salt="s1").select(
+        "doc_id", F.lit(True).alias("in_sample")
+    )
+    return split.join(sampled, "doc_id", "left").select(
+        "doc_id", "split", F.coalesce("in_sample", F.lit(False)).alias("in_sample")
+    )
+
+
 # -- multimodal ---------------------------------------------------------------
 
 
@@ -721,6 +745,46 @@ SELECT vec_id, list_id FROM asg{iters + 1}
 
 ORACLES["ann_kmeans_assign"] = _kmeans_oracle(k=8, iters=2)
 
+ORACLES["text_chunking"] = r"""
+WITH tok_pos AS (
+  SELECT doc_id,
+    unnest(string_split_regex(trim(text), '\s+')) AS tok,
+    generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+  FROM documents WHERE len(trim(text)) > 0),
+counts AS (SELECT doc_id, max(pos) AS n FROM tok_pos GROUP BY doc_id),
+nch AS (
+  SELECT doc_id,
+    CASE WHEN n <= 64 THEN 1
+         ELSE 1 + CAST(floor((n - 64 + 55) / 56.0) AS BIGINT) END AS n_chunks
+  FROM counts),
+cseq AS (
+  SELECT doc_id, unnest(generate_series(0, CAST(n_chunks AS INT) - 1)) AS c
+  FROM nch),
+chunked AS (
+  SELECT t.doc_id, s.c AS chunk_id,
+    string_agg(t.tok, ' ' ORDER BY t.pos) AS chunk_text,
+    CAST(count(*) AS BIGINT) AS n_tokens
+  FROM cseq s
+  JOIN tok_pos t ON t.doc_id = s.doc_id
+    AND t.pos BETWEEN s.c * 56 + 1 AND s.c * 56 + 64
+  GROUP BY t.doc_id, s.c)
+SELECT doc_id, chunk_id, md5(chunk_text) AS chunk_md5, n_tokens FROM chunked
+"""
+
+ORACLES["corpus_split_sample"] = """
+WITH u AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      / 4294967296.0 AS us,
+    CAST(('0x' || substr(md5('s1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      / 4294967296.0 AS up
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN us < 0.9 THEN 'train' WHEN us < 0.95 THEN 'val' ELSE 'test' END AS split,
+  (up < 0.2) AS in_sample
+FROM u
+"""
+
 ORACLES["embed_quantize"] = _FLAT_CTE + """,
 scales AS (SELECT vec_id, max(abs(val)) / 127.0 AS scale FROM flat GROUP BY vec_id),
 codes AS (
@@ -745,6 +809,8 @@ def queries():
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
+        "text_chunking": q_text_chunking,
+        "corpus_split_sample": q_corpus_split_sample,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,

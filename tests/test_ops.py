@@ -422,3 +422,55 @@ def test_quantize_roundtrip_and_search_fidelity(spark):
     }
     agree = sum(exact[k] == qtop.get(k) for k in exact) / len(exact)
     assert agree >= 0.9, f"top-1 agreement {agree}"
+
+
+def test_chunk_documents_window_laws(spark):
+    """Chunking laws: full coverage (every token appears in some chunk),
+    stride/overlap alignment, short-doc single chunk, empty-doc none."""
+    from cdc_tools_spark.ops.text import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(150))
+    df = spark.createDataFrame(
+        [(1, text), (2, "a b c"), (3, "")], schema="doc_id long, text string"
+    )
+    out = chunk_documents(df, chunk_tokens=64, overlap=8)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_tokens"]) for r in out.collect())
+    )
+    by_doc = {}
+    for d, c, t, n in rows:
+        by_doc.setdefault(d, []).append((c, t.split(), n))
+    # doc 1: 150 tokens, stride 56 -> chunks at 0,56,112 (sizes 64,64,38)
+    assert [c for c, _, _ in by_doc[1]] == [0, 1, 2]
+    assert [n for _, _, n in by_doc[1]] == [64, 64, 38]
+    assert by_doc[1][1][1][0] == "t56"  # second window starts at the stride
+    covered = {tok for _, toks, _ in by_doc[1] for tok in toks}
+    assert covered == {f"t{i}" for i in range(150)}  # full coverage
+    # overlap: last 8 tokens of chunk 0 == first 8 of chunk 1
+    assert by_doc[1][0][1][-8:] == by_doc[1][1][1][:8]
+    assert by_doc[2] == [(0, ["a", "b", "c"], 3)]
+    assert 3 not in by_doc
+
+
+def test_hash_split_and_sample_are_stable_and_proportional(spark):
+    from cdc_tools_spark.ops.text import deterministic_sample, hash_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    s1 = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    # growth stability: splitting HALF the corpus assigns identically
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    s2 = {r["doc_id"]: r["split"] for r in hash_split(half).collect()}
+    assert all(s1[k] == v for k, v in s2.items())
+    # rough proportions
+    from collections import Counter
+
+    c = Counter(s1.values())
+    assert 0.8 <= c["train"] / len(s1) <= 0.97
+    assert c["val"] > 0 and c["test"] > 0
+    # sample: deterministic repeat + rate in the right ballpark
+    a = {r["doc_id"] for r in deterministic_sample(docs, 0.2).collect()}
+    b = {r["doc_id"] for r in deterministic_sample(docs, 0.2).collect()}
+    assert a == b and 0.1 <= len(a) / docs.count() <= 0.3
+    # different salt -> different subset
+    c2 = {r["doc_id"] for r in deterministic_sample(docs, 0.2, salt="other").collect()}
+    assert a != c2
