@@ -151,6 +151,31 @@ def q_corpus_split_sample(spark, sf_dir):
     )
 
 
+def q_training_mix(spark, sf_dir):
+    """Capstone composition — the full training-data pipeline as ONE flow:
+    quality filter (n_tokens >= 30) -> transitive near-dup dedup (keep the
+    min-id representative per cluster) -> 64/8 token chunking of the
+    survivors -> deterministic train/val/test split. Every stage is an
+    already-oracle-checked operator; this row proves they COMPOSE (the
+    oracle replays the identical four stages in SQL)."""
+    docs = _docs(spark, sf_dir)
+    kept_q = docs.join(
+        X.quality_features(docs).where(F.col("n_tokens") >= 30).select("doc_id"),
+        "doc_id",
+    )
+    pairs = D.neardup_pairs(kept_q, num_hashes=32, rows_per_band=4, threshold=0.5)
+    survivors = kept_q.join(
+        D.keep_list_transitive(kept_q, pairs).where(F.col("kept")).select("doc_id"),
+        "doc_id",
+    )
+    chunks = X.chunk_documents(survivors, chunk_tokens=64, overlap=8)
+    split = X.hash_split(survivors, {"train": 0.9, "val": 0.05, "test": 0.05}, salt="v1")
+    return chunks.join(split, "doc_id").select(
+        "doc_id", "chunk_id", F.md5("chunk_text").alias("chunk_md5"),
+        "n_tokens", "split",
+    )
+
+
 # -- multimodal ---------------------------------------------------------------
 
 
@@ -745,6 +770,58 @@ SELECT vec_id, list_id FROM asg{iters + 1}
 
 ORACLES["ann_kmeans_assign"] = _kmeans_oracle(k=8, iters=2)
 
+_FILTERED_DOCS_CTE = r"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, text FROM documents
+  WHERE len(trim(text)) > 0
+    AND len(string_split_regex(trim(text), '\s+')) >= 30),
+tok_pos AS (
+  SELECT doc_id,
+    unnest(string_split_regex(trim(text), '\s+')) AS tok,
+    generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+  FROM docs),
+grams AS (
+  SELECT doc_id,
+    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+  FROM tok_pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+sh AS (SELECT DISTINCT doc_id, shingle FROM grams WHERE shingle IS NOT NULL)
+"""
+
+ORACLES["training_mix"] = _FILTERED_DOCS_CTE + _NEARDUP_CTE + _CLUSTER_CTE.replace(
+    "FROM documents d", "FROM docs d"
+) + """,
+kept AS (SELECT doc_id FROM clusters WHERE doc_id = cluster_id),
+tcounts AS (
+  SELECT t.doc_id, max(t.pos) AS n FROM tok_pos t JOIN kept k ON k.doc_id = t.doc_id
+  GROUP BY t.doc_id),
+nch AS (
+  SELECT doc_id,
+    CASE WHEN n <= 64 THEN 1
+         ELSE 1 + CAST(floor((n - 64 + 55) / 56.0) AS BIGINT) END AS n_chunks
+  FROM tcounts),
+cseq AS (
+  SELECT doc_id, unnest(generate_series(0, CAST(n_chunks AS INT) - 1)) AS c
+  FROM nch),
+chunked AS (
+  SELECT t.doc_id, s.c AS chunk_id,
+    string_agg(t.tok, ' ' ORDER BY t.pos) AS chunk_text,
+    CAST(count(*) AS BIGINT) AS n_tokens
+  FROM cseq s
+  JOIN tok_pos t ON t.doc_id = s.doc_id
+    AND t.pos BETWEEN s.c * 56 + 1 AND s.c * 56 + 64
+  GROUP BY t.doc_id, s.c),
+splits AS (
+  SELECT k.doc_id,
+    CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'val' ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id,
+      CAST(('0x' || substr(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        / 4294967296.0 AS u
+    FROM kept) k)
+SELECT c.doc_id, c.chunk_id, md5(c.chunk_text) AS chunk_md5, c.n_tokens, s.split
+FROM chunked c JOIN splits s ON s.doc_id = c.doc_id
+"""
+
 ORACLES["text_chunking"] = r"""
 WITH tok_pos AS (
   SELECT doc_id,
@@ -811,6 +888,7 @@ def queries():
         "text_fingerprint": q_text_fingerprint,
         "text_chunking": q_text_chunking,
         "corpus_split_sample": q_corpus_split_sample,
+        "training_mix": q_training_mix,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
