@@ -645,3 +645,96 @@ def neardup_pairs_incremental(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+# -- simhash hamming-LSH ------------------------------------------------------
+
+
+def simhash_block_candidates(
+    df: DataFrame,
+    n_blocks: int = 4,
+    max_block_freq: int | None = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-dup pairs by SimHash block collision: the 64-bit
+    signature splits into ``n_blocks`` contiguous blocks and docs agreeing
+    on ANY block are candidates. Pigeonhole guarantee: every pair within
+    hamming distance ``n_blocks − 1`` shares at least one exact block, so
+    discovery at distance ≤ 3 (default 4 blocks) has **perfect recall**
+    while the join is a block-key equi-join — the hamming-space analog of
+    MinHash-LSH banding, same 100-TB scale shape. ``max_block_freq`` is
+    the deterministic skew guard (a constant-prefix block shared by half
+    the corpus would otherwise become a quadratic join group)."""
+    if 64 % n_blocks:
+        raise ValueError("n_blocks must divide 64")
+    width = 64 // n_blocks
+    sig = simhash(df, text_col, id_col)
+    blocks = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring(F.col("simhash"), b * width + 1, width)
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("block", "block_key"),
+    )
+    if max_block_freq is not None:
+        ok = (
+            blocks.groupBy("block", "block_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= max_block_freq)
+            .select("block", "block_key")
+        )
+        blocks = blocks.join(ok, ["block", "block_key"])
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    return (
+        a.join(b, ["block", "block_key"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    max_block_freq: int | None = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) — SimHash near-dup pairs at hamming distance
+    ≤ ``max_hamming``: block-collision discovery (perfect recall while
+    ``max_hamming < n_blocks``) + exact bit-compare verify on candidates
+    only. All JVM expressions; the verify is per-candidate O(64)."""
+    if max_hamming >= n_blocks:
+        raise ValueError(
+            "perfect recall needs max_hamming < n_blocks (pigeonhole)"
+        )
+    cand = simhash_block_candidates(df, n_blocks, max_block_freq, text_col, id_col)
+    sig = simhash(df, text_col, id_col)
+    ham = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.substring(F.col("sh_a"), i, 1)
+            != F.substring(F.col("sh_b"), i, 1),
+        )
+    ).cast("long")
+    return (
+        cand.join(
+            sig.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sig.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b")),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -116,6 +116,16 @@ def q_dedup_incremental(spark, sf_dir):
     )
 
 
+def q_dedup_simhash_neardup(spark, sf_dir):
+    """SimHash hamming near-dups: block-collision discovery (4 blocks of
+    16 bits — pigeonhole gives PERFECT recall at hamming <= 3) + exact
+    bit-compare verify on candidates only. The hamming-space twin of the
+    MinHash banding path."""
+    return D.simhash_neardup_pairs(
+        _docs(spark, sf_dir), max_hamming=3, n_blocks=4, max_block_freq=200
+    )
+
+
 def q_dedup_keep_list_quality(spark, sf_dir):
     """Transitive dedup keeping the BEST copy per cluster, not the first:
     representative = argmax quality score (BPE-ish token count — an
@@ -562,6 +572,45 @@ SELECT doc_id, (doc_id = cluster_id) AS kept FROM clusters
 SELECT doc_a, doc_b, jaccard FROM verified
 WHERE doc_a % 10 = 0 OR doc_b % 10 = 0
 """,
+    "dedup_simhash_neardup": r"""
+WITH tok_d AS (
+  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents WHERE len(trim(text)) > 0),
+h AS (SELECT doc_id, substr(md5(tok), 1, 16) AS h FROM tok_d),
+bits AS (
+  SELECT doc_id, b,
+    strpos('0123456789abcdef', substr(h, CAST(floor(b / 4) AS INT) + 1, 1)) - 1 AS v,
+    CASE CAST(b % 4 AS INT) WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END AS d
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bb),
+sums AS (
+  SELECT doc_id, b, sum((CAST(floor(v / d) AS INT) % 2) * 2 - 1) AS s
+  FROM bits GROUP BY doc_id, b),
+sig AS (
+  SELECT doc_id,
+    string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS sh
+  FROM sums GROUP BY doc_id),
+blocks AS (
+  SELECT doc_id, blk, substr(sh, blk * 16 + 1, 16) AS block_key
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS blk) t),
+okblk AS (
+  SELECT blk, block_key FROM blocks GROUP BY blk, block_key
+  HAVING count(*) <= 200),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blocks a
+  JOIN okblk o ON o.blk = a.blk AND o.block_key = a.block_key
+  JOIN blocks b ON b.blk = a.blk AND b.block_key = a.block_key
+    AND a.doc_id < b.doc_id),
+ham AS (
+  SELECT c.doc_a, c.doc_b,
+    CAST((SELECT count(*) FROM unnest(generate_series(1, 64)) g(i)
+          WHERE substr(sa.sh, CAST(i AS INT), 1) <> substr(sb.sh, CAST(i AS INT), 1))
+      AS BIGINT) AS hamming
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b)
+SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
+""",
     "dedup_keep_list_quality": _RECURSIVE_SHINGLE_CTE + _NEARDUP_CTE + _CLUSTER_CTE
     + r""",
 q AS (
@@ -898,6 +947,7 @@ def queries():
         "dedup_cluster_stats": q_dedup_cluster_stats,
         "dedup_keep_list_transitive": q_dedup_keep_list_transitive,
         "dedup_keep_list_quality": q_dedup_keep_list_quality,
+        "dedup_simhash_neardup": q_dedup_simhash_neardup,
         "dedup_incremental": q_dedup_incremental,
         "dedup_simhash": q_dedup_simhash,
         "mm_feature_extract": q_mm_feature_extract,

@@ -228,3 +228,33 @@ def test_cluster_plans_have_no_cartesian_or_bnlj(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_block_discovery_has_perfect_recall_at_hamming_3(spark):
+    """Pigeonhole gate: every pair within hamming <= 3 of 4-block SimHash
+    discovery MUST be a candidate (perfect recall), verified against a
+    brute-force driver-side hamming over the full corpus signature set."""
+    from cdc_tools_spark.ops.dedup import simhash, simhash_neardup_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    ids = sorted(sigs)
+    brute = {
+        (a, b, sum(x != y for x, y in zip(sigs[a], sigs[b])))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if sum(x != y for x, y in zip(sigs[a], sigs[b])) <= 3
+    }
+    got = {
+        tuple(r)
+        for r in simhash_neardup_pairs(
+            docs, max_hamming=3, n_blocks=4, max_block_freq=10**9
+        ).collect()
+    }
+    assert got == brute and len(brute) > 0
+
+    # parameter guard: recall promise requires max_hamming < n_blocks
+    import pytest
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_neardup_pairs(docs, max_hamming=4, n_blocks=4)
