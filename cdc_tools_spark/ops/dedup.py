@@ -738,3 +738,89 @@ def simhash_neardup_pairs(
         .select("doc_a", "doc_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# -- winnowing (rolling k-gram fingerprints) ---------------------------------
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, fp) — winnowing document fingerprints (Schleimer, Wilkerson
+    & Aiken, SIGMOD'03 — the MOSS local-fingerprinting algorithm, public):
+    hash every character k-gram, slide a window of ``window`` consecutive
+    hashes, keep each window's MINIMUM — guaranteeing any shared substring
+    of length ≥ k + window − 1 contributes at least one IDENTICAL selected
+    fingerprint in both documents, at ~2/(window+1) the density of the full
+    k-gram set.
+
+    Hash = first 15 hex chars of md5 (engine-agnostic, fits a long);
+    entirely array-native (``transform(sequence)`` + ``substring`` +
+    ``array_min``) — a linear, shuffle-free projection until the final
+    distinct. The k-gram hash array is MATERIALIZED as a column before
+    the window pass: Catalyst does not share subexpressions across lambda
+    bodies, so referencing the hash-array expression inside the window
+    lambda would recompute ALL the md5s once per window — O(len²) hashes
+    per document instead of O(len)."""
+    t = F.trim(F.col(text_col))
+    grams = (
+        df.where(F.length(t) >= k + window - 1)
+        .select(F.col(id_col), t.alias("_t"))
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.sequence(F.lit(1), F.length("_t") - (k - 1)),
+                lambda i: F.conv(
+                    F.substring(F.md5(F.col("_t").substr(i, F.lit(k))), 1, 15), 16, 10
+                ).cast("long"),
+            ).alias("_gh"),
+        )
+    )
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size("_gh") - (window - 1)),
+        lambda i: F.array_min(F.slice(F.col("_gh"), i, window)),
+    )
+    return grams.select(
+        F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp")
+    )
+
+
+def winnow_candidates(
+    df: DataFrame,
+    min_shared: int = 3,
+    k: int = 8,
+    window: int = 4,
+    max_fp_freq: int | None = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared) — docs sharing ≥ ``min_shared`` winnowing
+    fingerprints: substring-level copy detection (the signal MinHash's
+    bag-of-shingles view dilutes — a lifted paragraph inside an otherwise
+    different doc still collides). Shared-fp equi-join over the winnowed
+    (≈2/(window+1)-density) set, with the standard deterministic frequency
+    cap as the skew guard; never an all-pairs comparison."""
+    fps = winnow_fingerprints(df, k, window, text_col, id_col)
+    if max_fp_freq is not None:
+        ok = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= max_fp_freq)
+            .select("fp")
+        )
+        fps = fps.join(ok, "fp")
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(b, "fp")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -126,6 +126,15 @@ def q_dedup_simhash_neardup(spark, sf_dir):
     )
 
 
+def q_dedup_winnow(spark, sf_dir):
+    """Winnowing copy detection (MOSS): k-gram rolling hashes -> window
+    minima fingerprints -> shared-fp join. Catches substring-level copying
+    that bag-of-shingles similarity dilutes."""
+    return D.winnow_candidates(
+        _docs(spark, sf_dir), min_shared=4, k=16, window=8, max_fp_freq=200
+    )
+
+
 def q_dedup_keep_list_quality(spark, sf_dir):
     """Transitive dedup keeping the BEST copy per cluster, not the first:
     representative = argmax quality score (BPE-ish token count — an
@@ -572,6 +581,26 @@ SELECT doc_id, (doc_id = cluster_id) AS kept FROM clusters
 SELECT doc_a, doc_b, jaccard FROM verified
 WHERE doc_a % 10 = 0 OR doc_b % 10 = 0
 """,
+    "dedup_winnow": r"""
+WITH d AS (SELECT doc_id, trim(text) AS t FROM documents
+           WHERE len(trim(text)) >= 23),
+grams AS (
+  SELECT doc_id, i,
+    CAST(('0x' || substr(md5(substr(t, CAST(i AS INT), 16)), 1, 15)) AS BIGINT) AS h
+  FROM d, unnest(generate_series(1, len(t) - 15)) g(i)),
+wins AS (
+  SELECT doc_id, i,
+    min(h) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp,
+    max(i) OVER (PARTITION BY doc_id) AS mi
+  FROM grams),
+fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE i <= mi - 7),
+okfp AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 200),
+capped AS (SELECT f.doc_id, f.fp FROM fps f JOIN okfp o ON o.fp = f.fp)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 4
+""",
     "dedup_simhash_neardup": r"""
 WITH tok_d AS (
   SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
@@ -948,6 +977,7 @@ def queries():
         "dedup_keep_list_transitive": q_dedup_keep_list_transitive,
         "dedup_keep_list_quality": q_dedup_keep_list_quality,
         "dedup_simhash_neardup": q_dedup_simhash_neardup,
+        "dedup_winnow": q_dedup_winnow,
         "dedup_incremental": q_dedup_incremental,
         "dedup_simhash": q_dedup_simhash,
         "mm_feature_extract": q_mm_feature_extract,

@@ -258,3 +258,32 @@ def test_simhash_block_discovery_has_perfect_recall_at_hamming_3(spark):
 
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_neardup_pairs(docs, max_hamming=4, n_blocks=4)
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """Winnowing law (Schleimer et al.): any shared substring of length
+    >= k + window - 1 yields at least one identical selected fingerprint
+    in both docs; and the selected set is much sparser than all k-grams."""
+    from cdc_tools_spark.ops.dedup import winnow_candidates, winnow_fingerprints
+
+    lifted = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, "AAAA " + lifted + " BBBB entirely different tail content here"),
+        (2, "XXXX prefix unrelated words " + lifted + " YYYY other ending"),
+        (3, "no overlap with anything else at all in this one document z"),
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    fps = winnow_fingerprints(df, k=8, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    # guarantee: docs 1 and 2 share the lifted sentence -> shared fps
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3] and by_doc[2] & by_doc[3])
+    # density: winnowed set ~ 2/(w+1) of the full k-gram count
+    n_grams_1 = len(rows[0][1].strip()) - 7
+    assert len(by_doc[1]) < 0.6 * n_grams_1
+
+    cand = {(r["doc_a"], r["doc_b"]) for r in
+            winnow_candidates(df, min_shared=3, k=8, window=4).collect()}
+    assert cand == {(1, 2)}
