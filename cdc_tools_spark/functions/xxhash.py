@@ -153,17 +153,25 @@ def _hash_one(value, dtype: T.DataType, seed: int) -> int | None:
     if cls is T.DoubleType:
         if isinstance(value, bool) or not isinstance(value, (int, float)):
             return None
+        import math
         import struct
 
         d = float(value)
+        if math.isnan(d):
+            # Spark canonicalizes EVERY NaN payload to Double.NaN bits
+            # before hashing; a payload NaN packed as-is would mis-route
+            return hash_long(0x7FF8000000000000, seed)
         if d == 0.0:
             d = 0.0  # −0.0 normalizes to 0.0 before hashing
         return hash_long(struct.unpack("<q", struct.pack("<d", d))[0], seed)
     if cls is T.FloatType:
         if isinstance(value, bool) or not isinstance(value, (int, float)):
             return None
+        import math
         import struct
 
+        if math.isnan(float(value)):
+            return hash_int(0x7FC00000, seed)  # canonical Float.NaN bits
         try:
             fl = struct.unpack("<f", struct.pack("<f", float(value)))[0]
         except OverflowError:

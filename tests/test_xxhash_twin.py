@@ -97,6 +97,24 @@ def test_bucket_of_matches_pmod(spark):
         assert got_twin == got_spark
 
 
+def test_nan_payloads_canonicalize_like_spark(spark):
+    """Spark hashes every NaN payload as the canonical NaN bits; the twin
+    must do the same (a payload NaN packed as-is would mis-route buckets)."""
+    import struct
+
+    weird = struct.unpack("<d", struct.pack("<Q", 0x7FF8_0000_00BE_EF00))[0]
+    for dtype, values in (
+        (T.DoubleType(), [float("nan"), weird]),
+        (T.FloatType(), [float("nan"), weird]),
+    ):
+        schema = T.StructType([T.StructField("v", dtype)])
+        df = spark.createDataFrame([(v,) for v in values], schema=schema)
+        got_spark = [r["h"] for r in df.select(F.xxhash64("v").alias("h")).collect()]
+        got_twin = [xxhash64([v], [dtype]) for v in values]
+        assert got_twin == got_spark
+        assert len(set(got_spark)) == 1  # all NaNs hash identically
+
+
 def test_unsupported_shapes_decline_not_lie():
     # wrong python type for the column, out-of-range ints, exotic types:
     # the twin must return None (fallback to the Spark job), never a guess
