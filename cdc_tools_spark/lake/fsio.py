@@ -33,6 +33,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import time
 import uuid
 from urllib.parse import urlparse
 
@@ -196,7 +197,15 @@ def newest_mtime(path: str, max_entries: int = 4096) -> float:
     statuses). Object stores report pseudo-directory prefixes with mtime 0
     and local directory mtimes only reflect immediate-children changes
     (ADVICE r4) — so age-based grace windows must look at the newest file,
-    not the directory entry. 0.0 if the path doesn't exist."""
+    not the directory entry. 0.0 if the path doesn't exist.
+
+    Fails SAFE on truncation (ADVICE r5): if the listing hits
+    ``max_entries`` before exhausting the tree, the walk order is
+    arbitrary and the true newest file may be unseen — so the function
+    returns the CURRENT wall clock instead of a possibly-stale sampled
+    max. Callers use this for 'old enough to delete' decisions; wall
+    clock reads as 'just modified', which can only defer a deletion,
+    never permit an unsafe one."""
     if _is_local(path):
         try:
             newest = os.path.getmtime(path)
@@ -211,14 +220,14 @@ def newest_mtime(path: str, max_entries: int = 4096) -> float:
                     continue
                 seen += 1
                 if seen >= max_entries:
-                    return newest
+                    return time.time()
         return newest
     _, fs, p = _fs(path)
     if not fs.exists(p):
         return 0.0
     newest = fs.getFileStatus(p).getModificationTime() / 1000.0
     stack, seen = [p], 0
-    while stack and seen < max_entries:
+    while stack:
         cur = stack.pop()
         for st in fs.listStatus(cur):
             if st.isDirectory():
@@ -227,7 +236,7 @@ def newest_mtime(path: str, max_entries: int = 4096) -> float:
                 newest = max(newest, st.getModificationTime() / 1000.0)
                 seen += 1
                 if seen >= max_entries:
-                    break
+                    return time.time()
     return newest
 
 

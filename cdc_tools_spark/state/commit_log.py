@@ -85,6 +85,14 @@ class CommitLog:
         # Full superchunks never re-merge, so each epoch record is rewritten
         # at most O(log(compact_max_records / roll_every)) times over the
         # stream's life — amortized O(1) maintenance per epoch.
+        # NOTE (ADVICE r5): compact_max_records bounds the chunk's epoch
+        # RANGE WIDTH (hi - lo + 1), an upper estimate of its record count
+        # readable from the chunk NAME alone (no chunk-body reads during
+        # run planning). With sparse epoch histories superchunks may hold
+        # fewer records than the nominal cap and runs split earlier than a
+        # record-exact planner would — safe, just looser: the chunk-count
+        # bound becomes O(epoch_range / compact_max_records) rather than
+        # O(records / compact_max_records).
         self.compact_min_chunks = max(int(compact_min_chunks), 2)
         self.compact_max_records = max(int(compact_max_records), self.roll_every)
         self.cache_chunks = max(int(cache_chunks), 1)

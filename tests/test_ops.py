@@ -295,6 +295,48 @@ def test_ivf_broadcast_path_consumes_centroid_df_without_vector_collect(
     assert key(rows) == key(lit.collect())
 
 
+def test_sparse_offset_ids_seed_full_centroid_sets(spark):
+    """VERDICT r5 finding #1 regression: centroid init must be a true
+    min-k, not ``id < k`` — a corpus whose ids are offset (start at 10^6)
+    or gapped (stride 17) must still seed k centroids, and the trained /
+    assigned output must be invariant to relabeling the same vectors'
+    ids."""
+    from cdc_tools_spark.ops.similarity import (
+        ivf_assignments,
+        ivf_centroids,
+        kmeans_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # same vectors, ids offset by 10^6 and gapped by a stride of 17
+    sparse = emb.select(
+        (F.col("vec_id") * 17 + 1_000_000).alias("vec_id"), "embedding"
+    )
+
+    dense_c = ivf_centroids(emb, n_lists=8)
+    sparse_c = ivf_centroids(sparse, n_lists=8)
+    assert len(sparse_c) == 8  # old `id < k` code selected ZERO rows here
+    # identical vectors in identical order → identical relabeled sets
+    assert dense_c == sparse_c
+
+    # kmeans over the sparse-id corpus seeds k full centroids and trains
+    # to the same result as the dense-id corpus (ids only label rows)
+    dense_k = kmeans_train(emb, k=8, n_iter=2)
+    sparse_k = kmeans_train(sparse, k=8, n_iter=2)
+    dk = {r["list_id"]: [round(float(x), 9) for x in r["centroid"]]
+          for r in dense_k.collect()}
+    sk = {r["list_id"]: [round(float(x), 9) for x in r["centroid"]]
+          for r in sparse_k.collect()}
+    assert set(dk) == set(range(8)) == set(sk)
+    assert dk == sk
+
+    # assignment serving on the sparse corpus routes every vector
+    assign = ivf_assignments(sparse, n_lists=8, n_probe=1)
+    assert assign.count() == emb.count()
+    assert {r["list_id"] for r in assign.select("list_id").distinct().collect()} \
+        <= set(range(8))
+
+
 def test_ngram_jaccard_stop_shingle_cap_bounds_candidates(spark):
     """A boilerplate shingle shared by every document would create one
     quadratic join group; max_doc_freq drops it deterministically, so the
