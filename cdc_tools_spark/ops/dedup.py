@@ -375,6 +375,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iterations: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """``(doc_id, cluster_id)`` for every doc appearing in ``pairs``, where
     ``cluster_id`` is the MINIMUM doc id of the connected component —
@@ -416,12 +417,17 @@ def connected_components(
         return (row["n"], row["h"])
 
     prev = _checksum(e)
+    rounds = 0
     for _ in range(max_iterations):
         e = _small_star(_large_star(e)).localCheckpoint()
+        rounds += 1
         cur = _checksum(e)
         if cur == prev:
             break
         prev = cur
+    if stats is not None:  # observability for volume probes (VERDICT r5 #5)
+        stats["rounds"] = rounds
+        stats["edges_fixed_point"] = prev[0]
     # fixed point is a star forest (u = component min, v = member)
     roots = e.select(F.col("u").alias("doc_id")).distinct()
     return (

@@ -195,6 +195,33 @@ def q_training_mix(spark, sf_dir):
     )
 
 
+def q_training_mix_simhash(spark, sf_dir):
+    """Capstone variant driving the SIMHASH candidate path (VERDICT r5 #7)
+    through the same composition: quality filter -> hamming-LSH near-dup
+    pairs (block-collision discovery, exact bit-verify) -> transitive
+    clustering keep-list -> chunk -> split. Proves the CC/keep/chunk/split
+    stages are candidate-source-agnostic — any pair generator that emits
+    (doc_a, doc_b) plugs in."""
+    docs = _docs(spark, sf_dir)
+    kept_q = docs.join(
+        X.quality_features(docs).where(F.col("n_tokens") >= 30).select("doc_id"),
+        "doc_id",
+    )
+    pairs = D.simhash_neardup_pairs(
+        kept_q, max_hamming=3, n_blocks=4, max_block_freq=200
+    )
+    survivors = kept_q.join(
+        D.keep_list_transitive(kept_q, pairs).where(F.col("kept")).select("doc_id"),
+        "doc_id",
+    )
+    chunks = X.chunk_documents(survivors, chunk_tokens=64, overlap=8)
+    split = X.hash_split(survivors, {"train": 0.9, "val": 0.05, "test": 0.05}, salt="v1")
+    return chunks.join(split, "doc_id").select(
+        "doc_id", "chunk_id", F.md5("chunk_text").alias("chunk_md5"),
+        "n_tokens", "split",
+    )
+
+
 # -- multimodal ---------------------------------------------------------------
 
 
@@ -865,9 +892,10 @@ grams AS (
 sh AS (SELECT DISTINCT doc_id, shingle FROM grams WHERE shingle IS NOT NULL)
 """
 
-ORACLES["training_mix"] = _FILTERED_DOCS_CTE + _NEARDUP_CTE + _CLUSTER_CTE.replace(
-    "FROM documents d", "FROM docs d"
-) + """,
+# chunk + split over the keep-list — shared by every capstone variant: any
+# CTE chain that produces `clusters(doc_id, cluster_id)` over the filtered
+# `docs`/`tok_pos` plugs in above this tail.
+_CAPSTONE_TAIL = """,
 kept AS (SELECT doc_id FROM clusters WHERE doc_id = cluster_id),
 tcounts AS (
   SELECT t.doc_id, max(t.pos) AS n FROM tok_pos t JOIN kept k ON k.doc_id = t.doc_id
@@ -899,6 +927,61 @@ splits AS (
 SELECT c.doc_id, c.chunk_id, md5(c.chunk_text) AS chunk_md5, c.n_tokens, s.split
 FROM chunked c JOIN splits s ON s.doc_id = c.doc_id
 """
+
+ORACLES["training_mix"] = (
+    _FILTERED_DOCS_CTE
+    + _NEARDUP_CTE
+    + _CLUSTER_CTE.replace("FROM documents d", "FROM docs d")
+    + _CAPSTONE_TAIL
+)
+
+# SimHash pair generation over the FILTERED corpus, emitting the same
+# `verified(doc_a, doc_b)` contract _NEARDUP_CTE does, so _CLUSTER_CTE +
+# _CAPSTONE_TAIL compose unchanged. Signature CTE renamed sh_sig: `sh`
+# already names the shingle set in _FILTERED_DOCS_CTE.
+_SIMHASH_PAIRS_FILTERED_CTE = """,
+tok_d AS (SELECT DISTINCT doc_id, tok FROM tok_pos),
+th AS (SELECT doc_id, substr(md5(tok), 1, 16) AS h FROM tok_d),
+bits AS (
+  SELECT doc_id, b,
+    strpos('0123456789abcdef', substr(h, CAST(floor(b / 4) AS INT) + 1, 1)) - 1 AS v,
+    CASE CAST(b % 4 AS INT) WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END AS d
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bb),
+sums AS (
+  SELECT doc_id, b, sum((CAST(floor(v / d) AS INT) % 2) * 2 - 1) AS s
+  FROM bits GROUP BY doc_id, b),
+sig AS (
+  SELECT doc_id,
+    string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS sh_sig
+  FROM sums GROUP BY doc_id),
+blocks AS (
+  SELECT doc_id, blk, substr(sh_sig, blk * 16 + 1, 16) AS block_key
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS blk) t),
+okblk AS (
+  SELECT blk, block_key FROM blocks GROUP BY blk, block_key
+  HAVING count(*) <= 200),
+scand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blocks a
+  JOIN okblk o ON o.blk = a.blk AND o.block_key = a.block_key
+  JOIN blocks b ON b.blk = a.blk AND b.block_key = a.block_key
+    AND a.doc_id < b.doc_id),
+verified AS (
+  SELECT c.doc_a, c.doc_b
+  FROM scand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b
+  WHERE (SELECT count(*) FROM unnest(generate_series(1, 64)) g(i)
+         WHERE substr(sa.sh_sig, CAST(i AS INT), 1)
+            <> substr(sb.sh_sig, CAST(i AS INT), 1)) <= 3)
+"""
+
+ORACLES["training_mix_simhash"] = (
+    _FILTERED_DOCS_CTE
+    + _SIMHASH_PAIRS_FILTERED_CTE
+    + _CLUSTER_CTE.replace("FROM documents d", "FROM docs d")
+    + _CAPSTONE_TAIL
+)
 
 ORACLES["text_chunking"] = r"""
 WITH tok_pos AS (
@@ -967,6 +1050,7 @@ def queries():
         "text_chunking": q_text_chunking,
         "corpus_split_sample": q_corpus_split_sample,
         "training_mix": q_training_mix,
+        "training_mix_simhash": q_training_mix_simhash,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,

@@ -294,3 +294,67 @@ def test_lifecycle_interleavings_preserve_history(tmp_path):
                 assert all(r.applied_upserts == r.epoch % 7 for r in recs)
             else:
                 assert fresh.last_committed() is None
+
+
+def test_as_dataframe_at_superchunk_tier_with_compaction_racing(tmp_path, spark):
+    """VERDICT r5 #8: the metrics DataFrame stays EXACT at superchunk-tier
+    sizes while compaction races the read, in both race windows:
+
+    * write-before-delete window — a superchunk is durable while its input
+      chunks still exist; a reader listing then must dedupe by epoch, not
+      double-count;
+    * delete-after-listing window — a DataFrame derived from a
+      pre-compaction listing whose files are then deleted must either
+      return the COMPLETE history or fail loudly (default Spark semantics:
+      a vanished input file fails the job) — never a silent partial
+      result; re-deriving after the race is exact.
+    """
+    # -- window 1: superchunk + its inputs coexist -------------------------
+    n = 131_072
+    d1 = tmp_path / "w1"
+    _synthesize_chunked_history(d1, n, per_chunk=4096)
+    log = CommitLog(str(d1), "run-x",
+                    compact_min_chunks=10**9,  # no auto-compact during commits
+                    compact_max_records=65_536)
+    for e in range(n, n + 3):  # loose tail riding along
+        log.commit(_rec(e))
+    # same records, compacted shape, inputs NOT deleted (the durable-but-
+    # not-yet-cleaned window of compact_chunks)
+    _, chunks = log._listing()
+    sixteen = chunks[:16]
+    merged = [r for name in sixteen for r in log._chunk_records(name)]
+    lo, hi = merged[0]["epoch"], merged[-1]["epoch"]
+    fsio.create_exclusive(
+        log.dir + f"/chunk-{lo:010d}-{hi:010d}.json",
+        json.dumps({"records": merged}),
+    )
+    overlap = CommitLog(str(d1), "run-x")
+    df = overlap.as_dataframe(spark)
+    assert df.count() == n + 3  # epoch dedupe, no double-count
+    assert overlap.last_committed().epoch == n + 2
+
+    # full compaction then an exact re-read at superchunk tier
+    log2 = CommitLog(str(d1), "run-x", compact_min_chunks=2,
+                     compact_max_records=65_536)
+    log2.compact_chunks()
+    df2 = log2.as_dataframe(spark)
+    agg = df2.selectExpr("count(*) c", "sum(applied_upserts) u", "max(epoch) m").first()
+    assert agg["c"] == n + 3
+    assert agg["m"] == n + 2
+    assert agg["u"] == sum(e % 7 for e in range(n + 3))
+
+    # -- window 2: inputs deleted after the reader's listing ---------------
+    m = 32_768
+    d2 = tmp_path / "w2"
+    _synthesize_chunked_history(d2, m, per_chunk=4096)
+    racer = CommitLog(str(d2), "run-x", compact_min_chunks=2,
+                      compact_max_records=65_536)
+    stale = racer.as_dataframe(spark)  # listing snapshot taken here
+    assert racer.compact_chunks()      # deletes the listed inputs
+    try:
+        got = stale.count()
+    except Exception:
+        got = None  # loud failure is acceptable; silent partial is not
+    assert got is None or got == m
+    fresh = racer.as_dataframe(spark)
+    assert fresh.count() == m and racer.last_committed().epoch == m - 1
