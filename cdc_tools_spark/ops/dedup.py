@@ -277,6 +277,77 @@ def keep_list(
     )
 
 
+def contamination_overlap(
+    train_df: DataFrame,
+    benchmark_df: DataFrame,
+    n: int = 3,
+    min_shared: int = 4,
+    max_gram_freq: int | None = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(train_id, bench_id, n_shared) — training docs sharing at least
+    ``min_shared`` distinct word n-grams with a benchmark/eval doc: the
+    published n-gram decontamination rule (GPT-3's 13-gram filter, Brown
+    et al. 2020 appendix C; PaLM's contamination analysis — public).
+
+    Scale shape: discovery is an equi-join on the gram VALUE between the
+    two shingle sets — work is O(shared gram occurrences), never
+    train × benchmark. ``max_gram_freq`` drops grams appearing in more
+    than that many TRAIN docs (boilerplate shared by everything would
+    otherwise create one quadratic join group — same deterministic
+    skew cap as the LSH/winnow paths)."""
+    tr = word_shingles(train_df, n, text_col, id_col).select(
+        F.col(id_col).alias("train_id"), "shingle"
+    )
+    be = word_shingles(benchmark_df, n, text_col, id_col).select(
+        F.col(id_col).alias("bench_id"), "shingle"
+    )
+    if max_gram_freq is not None:
+        ok = (
+            tr.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= max_gram_freq)
+            .select("shingle")
+        )
+        tr = tr.join(ok, "shingle", "left_semi")
+    return (
+        tr.join(be, "shingle")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def decontaminate(
+    train_df: DataFrame,
+    benchmark_df: DataFrame,
+    n: int = 3,
+    min_shared: int = 4,
+    max_gram_freq: int | None = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, kept, n_shared_max) over the TRAIN corpus: ``kept`` is
+    False for any doc flagged by :func:`contamination_overlap`;
+    ``n_shared_max`` is the doc's worst (highest) benchmark overlap, 0
+    when clean. One aggregation over the hit pairs + a left join back —
+    the corpus itself is never self-joined."""
+    hits = contamination_overlap(
+        train_df, benchmark_df, n, min_shared, max_gram_freq, text_col, id_col
+    )
+    agg = hits.groupBy("train_id").agg(F.max("n_shared").alias("_mx"))
+    return (
+        train_df.select(id_col)
+        .join(agg.withColumnRenamed("train_id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("_mx").isNull().alias("kept"),
+            F.coalesce("_mx", F.lit(0)).cast("long").alias("n_shared_max"),
+        )
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over distinct whitespace tokens, as a 64-char
     bitstring (MSB-first over md5 hex nibbles).

@@ -411,6 +411,70 @@ def topk_cosine_ivf(
     )
 
 
+def ivf_recall_sweep(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    probes: tuple[int, ...] = (1, 2, 4),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(n_probe, avg_recall, n_queries)`` — the serving-quality tuning
+    table: recall@k of IVF-flat vs the exact scan, at each probe setting.
+    This is how an operator sizes ``n_probe`` on a real deployment: run
+    the sweep over a SAMPLED query set, pick the smallest ``n_probe``
+    above the recall target (recall rises monotonically with probes; cost
+    rises linearly).
+
+    The exact ground truth is a ``queries × corpus`` scan — the one place
+    a cross join is the intended tool, which is exactly why this operator
+    takes an explicit ``queries`` sample instead of defaulting to
+    all-pairs: measurement cost is |sample| × corpus, bounded by the
+    caller (``deterministic_sample`` / a hash predicate). Ground truth is
+    computed ONCE (localCheckpoint) and shared by every probe setting;
+    each setting costs one candidate equi-join + per-query top-k, the
+    same plan as serving. Recall denominator is ``k`` (every query has k
+    exact neighbors whenever the corpus holds > k vectors)."""
+    from functools import reduce
+
+    qids = queries.select(F.col(id_col).alias("id_a"))
+    exact = (
+        topk_cosine(df, k, id_col, vec_col, queries=queries)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    nq = exact.select("id_a").distinct()
+    cents = ivf_centroids(df, n_lists, id_col, vec_col)
+    rows = []
+    for p in probes:
+        approx = topk_cosine_ivf(
+            df, k, n_lists, p, id_col, vec_col, centroids=cents
+        ).join(qids, "id_a", "left_semi")
+        hits = (
+            exact.join(approx.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+            .groupBy("id_a")
+            .agg(F.count(F.lit(1)).alias("h"))
+        )
+        rows.append(
+            nq.join(hits, "id_a", "left")
+            .agg(
+                # integer hit sum + ONE division: bit-deterministic under
+                # any aggregation order (an avg of per-query doubles is not)
+                F.sum(F.coalesce(F.col("h"), F.lit(0))).alias("_sh"),
+                F.count(F.lit(1)).alias("_nq"),
+            )
+            .select(
+                F.lit(p).cast("long").alias("n_probe"),
+                F.round(F.col("_sh") / (F.lit(k) * F.col("_nq")), 6).alias(
+                    "avg_recall"
+                ),
+                F.col("_nq").cast("long").alias("n_queries"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), rows)
+
+
 def cosine_pairs_lsh(
     df: DataFrame,
     threshold: float = 0.9,

@@ -110,6 +110,85 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _gram_rows(
+    df: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """NON-distinct token n-gram occurrences: (id, gram) — one row per
+    occurrence, array-native construction (no explode-then-window)."""
+    toks = tokens(text_col)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col), F.explode(grams).alias("gram"))
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al.,
+    "Scaling Language Models: Methods, Analysis & Insights from Training
+    Gopher", 2021, appendix A1 — public quality heuristics): documents
+    dominated by one repeated phrase or by duplicated n-grams are
+    low-quality boilerplate/spam.
+
+    Per document:
+
+    * ``top_bigram`` — the most frequent token 2-gram (ties break to the
+      lexicographically LARGEST gram — a fixed deterministic rule; null
+      when the doc has < 2 tokens);
+    * ``top_bigram_count`` / ``top_bigram_frac`` — its occurrence count
+      and share of all 2-gram occurrences;
+    * ``dup_trigram_frac`` — fraction of 3-gram OCCURRENCES whose gram
+      appears more than once in the doc.
+
+    Scale shape: one explode + per-(doc, gram) hash aggregation + per-doc
+    hash aggregation per n — map-side partial aggregation applies at both
+    levels; no corpus-wide window, no UDF. Grouping key cardinality is
+    bounded by total token count, linear in corpus size."""
+    bic = _gram_rows(df, 2, text_col, id_col).groupBy(id_col, "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    bid = (
+        bic.groupBy(id_col)
+        .agg(
+            F.max(F.struct(F.col("c"), F.col("gram"))).alias("top"),
+            F.sum("c").alias("tot"),
+        )
+        .select(
+            id_col,
+            F.col("top.gram").alias("top_bigram"),
+            F.col("top.c").cast("long").alias("top_bigram_count"),
+            F.round(F.col("top.c") / F.col("tot"), 6).alias("top_bigram_frac"),
+        )
+    )
+    tric = _gram_rows(df, 3, text_col, id_col).groupBy(id_col, "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    trid = tric.groupBy(id_col).agg(
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)) / F.sum("c"), 6
+        ).alias("dup_trigram_frac")
+    )
+    return (
+        df.select(id_col)
+        .join(bid, id_col, "left")
+        .join(trid, id_col, "left")
+        .select(
+            id_col,
+            "top_bigram",
+            F.coalesce("top_bigram_count", F.lit(0)).cast("long").alias(
+                "top_bigram_count"
+            ),
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+            F.coalesce("dup_trigram_frac", F.lit(0.0)).alias("dup_trigram_frac"),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 128,

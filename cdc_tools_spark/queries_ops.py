@@ -40,6 +40,56 @@ def q_text_fingerprint(spark, sf_dir):
     return X.fingerprint(_docs(spark, sf_dir))
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (top-bigram dominance,
+    duplicate-trigram occupancy)."""
+    return X.repetition_features(_docs(spark, sf_dir))
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id % 10 == 3 play the
+    held-out eval set; every other doc is train. A train doc sharing >= 4
+    distinct 3-grams with any eval doc is flagged (the GPT-3-style n-gram
+    contamination rule, scaled-down thresholds for the fixture corpus)."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where((F.col("doc_id") % 10) == 3)
+    train = docs.where((F.col("doc_id") % 10) != 3)
+    return D.decontaminate(train, bench, n=3, min_shared=4, max_gram_freq=200)
+
+
+def q_contamination_overlap(spark, sf_dir):
+    """Pair-level contamination evidence: which (train, benchmark) doc
+    pairs share >= 4 distinct 3-grams, and how many."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where((F.col("doc_id") % 10) == 3)
+    train = docs.where((F.col("doc_id") % 10) != 3)
+    return D.contamination_overlap(
+        train, bench, n=3, min_shared=4, max_gram_freq=200
+    )
+
+
+def q_corpus_vocab(spark, sf_dir):
+    """Vocabulary building: corpus-wide token occurrence count + document
+    frequency for tokens appearing in >= 2 docs. One explode + hash
+    aggregation (map-side partial count + approx-distinct-free exact
+    doc_freq via per-(token, doc) pre-aggregation) — linear, skew-bounded
+    by token frequency itself."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(X.tokens("text")).alias("token")
+    )
+    per_doc = toks.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_doc.groupBy("token")
+        .agg(
+            F.sum("c").cast("long").alias("n_occurrences"),
+            F.count(F.lit(1)).cast("long").alias("doc_freq"),
+        )
+        .where(F.col("doc_freq") >= 2)
+    )
+
+
 # -- dedup ------------------------------------------------------------------
 
 
@@ -332,6 +382,16 @@ def q_ann_topk_ivf_index(spark, sf_dir):
     return S.ivf_index_topk(spark, work, emb, k=5, n_probe=6)
 
 
+def q_ann_recall_sweep(spark, sf_dir):
+    """Serving-quality tuning table: recall@5 of IVF-flat at n_probe in
+    {1, 2, 4} vs the exact scan, measured over a deterministic 20% query
+    sample (vec_id % 5 == 0) — the bounded-cost recall measurement an
+    operator runs to size n_probe before turning on a 100-TB deployment."""
+    emb = _emb(spark, sf_dir)
+    qs = emb.where((F.col("vec_id") % 5) == 0)
+    return S.ivf_recall_sweep(emb, qs, k=5, n_lists=16, probes=(1, 2, 4))
+
+
 def q_embed_quantize(spark, sf_dir):
     """Symmetric per-vector int8 quantization — the 4x storage shrink an
     at-scale embedding corpus rides. Codes are serialized to a CSV string
@@ -537,6 +597,77 @@ SELECT doc_id,
 FROM toks_arr
 """,
     "text_lang_id": _LANG_SQL,
+    "text_repetition": r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+  FROM documents WHERE len(trim(text)) > 0),
+bi AS (
+  SELECT doc_id, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS gram
+  FROM toks, unnest(generate_series(1, len(t) - 1)) g(i)
+  WHERE len(t) >= 2),
+bic AS (SELECT doc_id, gram, count(*) AS c FROM bi GROUP BY 1, 2),
+bitop AS (
+  SELECT doc_id, gram, c, sum(c) OVER (PARTITION BY doc_id) AS tot,
+    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram DESC) AS rn
+  FROM bic),
+bsel AS (
+  SELECT doc_id, gram AS top_bigram, CAST(c AS BIGINT) AS top_bigram_count,
+         round(c * 1.0 / tot, 6) AS top_bigram_frac
+  FROM bitop WHERE rn = 1),
+tri AS (
+  SELECT doc_id, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]
+    || ' ' || t[CAST(i AS INT) + 2] AS gram
+  FROM toks, unnest(generate_series(1, len(t) - 2)) g(i)
+  WHERE len(t) >= 3),
+tric AS (SELECT doc_id, gram, count(*) AS c FROM tri GROUP BY 1, 2),
+trid AS (
+  SELECT doc_id,
+    round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c), 6)
+      AS dup_trigram_frac
+  FROM tric GROUP BY doc_id)
+SELECT d.doc_id, b.top_bigram,
+  COALESCE(b.top_bigram_count, 0) AS top_bigram_count,
+  COALESCE(b.top_bigram_frac, 0.0) AS top_bigram_frac,
+  COALESCE(t.dup_trigram_frac, 0.0) AS dup_trigram_frac
+FROM documents d
+LEFT JOIN bsel b ON b.doc_id = d.doc_id
+LEFT JOIN trid t ON t.doc_id = d.doc_id
+""",
+    "decontaminate": _SHINGLE_CTE + """,
+tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 != 3),
+be AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 = 3),
+okg AS (SELECT shingle FROM tr GROUP BY shingle HAVING count(*) <= 200),
+trc AS (SELECT t.doc_id, t.shingle FROM tr t JOIN okg o ON o.shingle = t.shingle),
+hits AS (
+  SELECT t.doc_id AS train_id, b.doc_id AS bench_id, count(*) AS c
+  FROM trc t JOIN be b ON b.shingle = t.shingle
+  GROUP BY 1, 2 HAVING count(*) >= 4),
+agg AS (SELECT train_id, max(c) AS mx FROM hits GROUP BY train_id)
+SELECT d.doc_id, (a.train_id IS NULL) AS kept,
+  CAST(COALESCE(a.mx, 0) AS BIGINT) AS n_shared_max
+FROM documents d LEFT JOIN agg a ON a.train_id = d.doc_id
+WHERE d.doc_id % 10 != 3
+""",
+    "contamination_overlap": _SHINGLE_CTE + """,
+tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 != 3),
+be AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 = 3),
+okg AS (SELECT shingle FROM tr GROUP BY shingle HAVING count(*) <= 200),
+trc AS (SELECT t.doc_id, t.shingle FROM tr t JOIN okg o ON o.shingle = t.shingle)
+SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
+  CAST(count(*) AS BIGINT) AS n_shared
+FROM trc t JOIN be b ON b.shingle = t.shingle
+GROUP BY 1, 2 HAVING count(*) >= 4
+""",
+    "corpus_vocab": r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents WHERE len(trim(text)) > 0),
+per_doc AS (
+  SELECT token, doc_id, count(*) AS c FROM tok GROUP BY 1, 2)
+SELECT token, CAST(sum(c) AS BIGINT) AS n_occurrences,
+  CAST(count(*) AS BIGINT) AS doc_freq
+FROM per_doc GROUP BY token HAVING count(*) >= 2
+""",
     "text_fingerprint": _TOKS_CTE
     + """
 SELECT doc_id,
@@ -1042,11 +1173,90 @@ GROUP BY c.vec_id, s.scale
 ORACLES["ann_topk_ivf_index"] = ORACLES["ann_topk_ivf"]
 
 
+def _ivf_recall_oracle(k: int = 5, probes=(1, 2, 4)) -> str:
+    """Recall sweep twin: exact top-k over the sampled queries + the
+    ann_topk_ivf pipeline at each probe setting; recall = one integer hit
+    sum / one division (matches the engine's bit-deterministic form)."""
+    sql = _FLAT_CTE + f""",
+cents AS (SELECT vec_id AS cent_id, pos, val FROM flat WHERE vec_id < 16),
+cnorm AS (SELECT cent_id, sqrt(sum(val * val)) AS cnrm FROM cents GROUP BY cent_id),
+assign_dots AS (
+  SELECT f.vec_id, c.cent_id, sum(f.val * c.val) AS dp
+  FROM flat f JOIN cents c ON c.pos = f.pos
+  GROUP BY 1, 2),
+assign_cos AS (
+  SELECT a.vec_id, a.cent_id, round(a.dp / (n.nrm * cn.cnrm), 6) AS cos
+  FROM assign_dots a
+  JOIN norms n ON n.vec_id = a.vec_id
+  JOIN cnorm cn ON cn.cent_id = a.cent_id),
+assign_rank AS (
+  SELECT vec_id, cent_id,
+    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS pr
+  FROM assign_cos),
+base AS (SELECT vec_id AS id_b, cent_id AS list_id FROM assign_rank WHERE pr = 1),
+exact_dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.val * b.val) AS dp
+  FROM flat a JOIN flat b ON b.pos = a.pos AND b.vec_id != a.vec_id
+  WHERE a.vec_id % 5 = 0
+  GROUP BY 1, 2),
+exact_k AS (
+  SELECT id_a, id_b FROM (
+    SELECT d.id_a, d.id_b,
+      row_number() OVER (PARTITION BY d.id_a
+        ORDER BY round(d.dp / (na.nrm * nb.nrm), 6) DESC, d.id_b) AS rnk
+    FROM exact_dots d
+    JOIN norms na ON na.vec_id = d.id_a
+    JOIN norms nb ON nb.vec_id = d.id_b) WHERE rnk <= {k})"""
+    for p in probes:
+        sql += f""",
+probes{p} AS (
+  SELECT vec_id AS id_a, cent_id AS list_id FROM assign_rank
+  WHERE pr <= {p} AND vec_id % 5 = 0),
+cand{p} AS (
+  SELECT DISTINCT pp.id_a, b.id_b
+  FROM probes{p} pp JOIN base b ON b.list_id = pp.list_id AND pp.id_a != b.id_b),
+dots{p} AS (
+  SELECT c.id_a, c.id_b, sum(fa.val * fb.val) AS dp
+  FROM cand{p} c
+  JOIN flat fa ON fa.vec_id = c.id_a
+  JOIN flat fb ON fb.vec_id = c.id_b AND fb.pos = fa.pos
+  GROUP BY 1, 2),
+topk{p} AS (
+  SELECT id_a, id_b FROM (
+    SELECT d.id_a, d.id_b,
+      row_number() OVER (PARTITION BY d.id_a
+        ORDER BY round(d.dp / (na.nrm * nb.nrm), 6) DESC, d.id_b) AS rnk
+    FROM dots{p} d
+    JOIN norms na ON na.vec_id = d.id_a
+    JOIN norms nb ON nb.vec_id = d.id_b) WHERE rnk <= {k}),
+hits{p} AS (
+  SELECT e.id_a, count(*) AS h
+  FROM exact_k e JOIN topk{p} t ON t.id_a = e.id_a AND t.id_b = e.id_b
+  GROUP BY 1),
+rec{p} AS (
+  SELECT CAST({p} AS BIGINT) AS n_probe,
+    round(sum(COALESCE(h.h, 0)) * 1.0 / ({k} * count(*)), 6) AS avg_recall,
+    CAST(count(*) AS BIGINT) AS n_queries
+  FROM (SELECT DISTINCT id_a FROM exact_k) q
+  LEFT JOIN hits{p} h ON h.id_a = q.id_a)"""
+    sql += "\n" + "\nUNION ALL\n".join(
+        f"SELECT * FROM rec{p}" for p in probes
+    )
+    return sql
+
+
+ORACLES["ann_recall_sweep"] = _ivf_recall_oracle()
+
+
 def queries():
     return {
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
+        "decontaminate": q_decontaminate,
+        "contamination_overlap": q_contamination_overlap,
+        "corpus_vocab": q_corpus_vocab,
         "text_chunking": q_text_chunking,
         "corpus_split_sample": q_corpus_split_sample,
         "training_mix": q_training_mix,
@@ -1073,6 +1283,7 @@ def queries():
         "ann_topk_ivf_bcast": q_ann_topk_ivf_bcast,
         "ann_kmeans_assign": q_ann_kmeans_assign,
         "ann_topk_ivf_index": q_ann_topk_ivf_index,
+        "ann_recall_sweep": q_ann_recall_sweep,
         "embed_quantize": q_embed_quantize,
     }
 

@@ -516,3 +516,70 @@ def test_hash_split_and_sample_are_stable_and_proportional(spark):
     # different salt -> different subset
     c2 = {r["doc_id"] for r in deterministic_sample(docs, 0.2, salt="other").collect()}
     assert a != c2
+
+
+def test_repetition_features_hand_computed(spark):
+    """Gopher-style repetition signals against hand-computed values,
+    including the deterministic tie-break (largest gram) and the <2-token
+    degenerate case."""
+    from cdc_tools_spark.ops.text import repetition_features
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),    # "a b"x3 of 5 bigrams; all trigrams dup'd
+            (2, "p q r s"),        # all unique
+            (3, "x"),              # no bigrams at all
+            (4, "a b c a b c"),    # tie "a b"=2 "b c"=2 -> largest wins
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_features(docs).collect()}
+    assert got[1]["top_bigram"] == "a b" and got[1]["top_bigram_count"] == 3
+    assert abs(got[1]["top_bigram_frac"] - 0.6) < 1e-9
+    # trigrams of doc 1: "a b a" x2, "b a b" x2 -> every occurrence dup'd
+    assert got[1]["dup_trigram_frac"] == 1.0
+    assert got[2]["top_bigram_count"] == 1 and got[2]["dup_trigram_frac"] == 0.0
+    assert got[3]["top_bigram"] is None and got[3]["top_bigram_count"] == 0
+    assert got[3]["top_bigram_frac"] == 0.0
+    assert got[4]["top_bigram"] == "b c"  # tie-break: lexicographically largest
+
+
+def test_decontaminate_threshold_and_gram_cap(spark):
+    """The n-gram contamination rule: >= min_shared distinct 3-grams with
+    any benchmark doc flags the train doc; one fewer keeps it; and the
+    train-side frequency cap excludes boilerplate grams from evidence."""
+    from cdc_tools_spark.ops.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "t1 t2 t3 t4 t5 t6")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "t1 t2 t3 t4 t5 t6"),      # shares all 4 trigrams -> flagged
+            (2, "t1 t2 t3 t4 t5 zz"),      # shares 3 -> kept (min_shared=4)
+            (3, "u1 u2 u3 u4 u5 u6"),      # shares 0 -> kept
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in decontaminate(train, bench, min_shared=4).collect()}
+    assert not got[1]["kept"] and got[1]["n_shared_max"] == 4
+    assert got[2]["kept"] and got[2]["n_shared_max"] == 0
+    assert got[3]["kept"]
+
+    # cap=1: every trigram of doc 1 also occurs in doc 2's first three ->
+    # those grams appear in 2 train docs and are excluded as boilerplate;
+    # doc 1 keeps only the last trigram as evidence -> under min_shared
+    train2 = spark.createDataFrame(
+        [
+            (1, "t1 t2 t3 t4 t5 t6"),
+            (2, "t1 t2 t3 t4 t5 zz"),
+        ],
+        "doc_id long, text string",
+    )
+    capped = {
+        r["doc_id"]: r
+        for r in decontaminate(train2, bench, min_shared=2, max_gram_freq=1).collect()
+    }
+    # shared grams t1t2t3/t2t3t4/t3t4t5 occur in both train docs -> capped
+    # out; doc 1 retains only t4t5t6 (freq 1) = 1 < 2 -> kept
+    assert capped[1]["kept"] and capped[2]["kept"]

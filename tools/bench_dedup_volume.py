@@ -9,12 +9,13 @@ doc, and CC rounds-to-converge. Run it at two sizes (``--docs`` and
 across the 4x step are the no-blowup evidence.
 
 Corpus: synthesized IN SPARK (pure JVM expressions, no Python UDF, no
-driver loop) — ``n`` docs of 60 md5-derived tokens; every 10th doc is a
-near-copy of its predecessor with 2 of 60 tokens rewritten (shingle
-Jaccard ~0.9 >> the 0.5 verify threshold), so ~10% of docs belong to a
-2-doc cluster, and 1% of docs form 4-doc PATH clusters (three chained
-copies) so CC takes multi-hop rounds: a deterministic, scale-invariant
-near-dup rate.
+driver loop) — ``n`` docs of 60 md5-derived tokens with a deterministic,
+scale-invariant dup structure: ~9% of docs in 2-doc near-copy clusters
+and 1% in 4-doc PATH clusters whose edges exist only between consecutive
+members (see ``build_corpus``) so CC takes multi-hop rounds. Chain-edge
+Jaccard ~0.66 sits where banded-LSH recall is ~0.8 per edge — some chain
+edges are (correctly) not discovered, which the per-size pair counts
+reflect.
 
 Prints one JSON line per size plus a final summary line with the
 small->large per-doc ratios.
@@ -38,24 +39,51 @@ sys.path.insert(0, REPO)
 
 
 def build_corpus(spark, n: int, path: str):
-    """n docs, 60 tokens each; id%10==9 docs are near-copies of id-1."""
+    """n docs, 60 tokens each, two deterministic dup structures:
+
+    * id%10==9 (except chain tails): a near-copy of id-1 with 2 tokens
+      rewritten (shingle Jaccard ~0.9) -> 2-doc clusters, ~9%/100 docs;
+    * id%100 in {97,98,99}: a PATH cluster rooted at id%100==96 — depth d
+      mutates 4*d SPREAD positions (j%16 in {0,4,8}, step d' owns
+      j%16 == 4*(d'-1)) with depth-STABLE values, so consecutive depths
+      differ by exactly 4 isolated tokens (J ~0.66, above the 0.5 verify
+      bar) while depth-skipping pairs differ by >= 8 (J ~0.41, below it):
+      edges form ONLY between consecutive depths, giving connected
+      components true multi-hop work (rounds > 1). Spread positions (not
+      a contiguous prefix) matter: contiguous edits share shingle windows
+      and would leave endpoint Jaccard above threshold, collapsing the
+      path into a clique.
+    """
     import pyspark.sql.functions as F
 
-    # id%10==9 -> 2-doc clusters (copy of id-1); id%100 in {97, 98} chains
-    # three consecutive copies into a 4-doc path cluster {96..99} so
-    # connected components has multi-hop work (rounds > 1), 1% of docs
-    mutated = (F.col("id") % 10 == 9) | (F.col("id") % 100).isin(97, 98)
-    base = F.when(mutated, F.col("id") - 1).otherwise(F.col("id"))
+    m100 = F.col("id") % 100
+    depth = m100 - 96  # 1..3 for chain members
+    is_chain = m100.isin(97, 98, 99)
+    root = F.col("id") - depth
+    is_pair = (F.col("id") % 10 == 9) & ~is_chain
+    base = (
+        F.when(is_chain, root)
+        .when(is_pair, F.col("id") - 1)
+        .otherwise(F.col("id"))
+    )
     tok = lambda j_expr, owner: F.substring(  # noqa: E731
         F.md5(F.concat_ws(":", owner.cast("string"), j_expr.cast("string"))), 1, 8
     )
-    # positions 0 and 29 are rewritten in copies (2/60 token edits)
+    chain_tok = lambda j: F.substring(  # noqa: E731  depth-stable value
+        F.md5(F.concat_ws(":", root.cast("string"), j.cast("string"), F.lit("mut"))),
+        1, 8,
+    )
     text = F.array_join(
         F.transform(
             F.sequence(F.lit(0), F.lit(59)),
             lambda j: F.when(
-                mutated & j.isin(0, 29), tok(j + 1000, F.col("id"))
-            ).otherwise(tok(j, base)),
+                is_chain
+                & (j % 16).isin(0, 4, 8)
+                & (F.floor((j % 16) / 4) < depth),
+                chain_tok(j),
+            )
+            .when(is_pair & j.isin(0, 29), tok(j + 1000, F.col("id")))
+            .otherwise(tok(j, base)),
         ),
         " ",
     )
