@@ -197,6 +197,8 @@ def main() -> None:
         "dedup_incremental",
         "ann_kmeans_assign",
         "text_quality",
+        "text_repetition",
+        "decontaminate",
     ):
         fn = q.queries()[name]
         timed(name, lambda fn=fn: fn(spark, SF_DIR).write.format("noop").mode("overwrite").save())
