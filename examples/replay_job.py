@@ -39,10 +39,35 @@ def main() -> None:
     ap.add_argument("--execution-id", default="replay-0")
     ap.add_argument("--epoch-events", type=int, default=100_000_000)
     ap.add_argument("--num-buckets", type=int, default=4096)
+    ap.add_argument(
+        "--atomic-tables", action="store_true",
+        help="log carries table_name: fan out per table with per-epoch "
+        "ALL-OR-NOTHING cross-table visibility (group markers; readers "
+        "resolve a consistent per-table version set via group_snapshot)",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName(f"cdc-replay-{args.execution_id}").getOrCreate()
     log = spark.read.parquet(args.log)
+
+    if args.atomic_tables:
+        from cdc_tools_spark.pipeline import replay_tables_atomic
+
+        out = replay_tables_atomic(
+            spark, log, args.table, args.state,
+            execution_id=args.execution_id,
+            config=ReplayConfig(
+                epoch_events=args.epoch_events,
+                num_buckets=args.num_buckets,
+                parity_column=True,
+            ),
+        )
+        for t, s in sorted(out.items()):
+            print(
+                f"{t}: epochs={s.epochs_applied} upserts={s.upserts} "
+                f"deletes={s.deletes} version={s.table_version}"
+            )
+        return
 
     table = None
     if args.iceberg:

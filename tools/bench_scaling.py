@@ -298,8 +298,19 @@ def main() -> None:
         "",
     ]
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # Preserve round addenda (A/B attributions, stage tables, probes): keep
+    # every section from the first "## Round-" or "## Absolute-wall" header
+    # on, regenerating only the scaling-tier evidence above it.
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        for marker in ("\n## Round-", "\n## Absolute-wall"):
+            idx = old.find(marker)
+            if idx != -1:
+                tail = old[idx:]
+                break
     with open(path, "w") as fh:
-        fh.write("\n".join(lines))
+        fh.write("\n".join(lines) + tail)
     print("\n".join(lines))
     print(f"written: {path}")
 
