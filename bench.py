@@ -199,6 +199,9 @@ def main() -> None:
         "text_quality",
         "text_repetition",
         "decontaminate",
+        "quality_filter",
+        "bpe_pairs",
+        "key_profile_events",
     ):
         fn = q.queries()[name]
         timed(name, lambda fn=fn: fn(spark, SF_DIR).write.format("noop").mode("overwrite").save())

@@ -189,6 +189,177 @@ def repetition_features(
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    max_tokens: int = 90,
+    min_stopword_ratio: float = 0.02,
+    min_unique_ratio: float = 0.35,
+    min_avg_token_len: float = 3.8,
+    max_avg_token_len: float = 5.2,
+) -> DataFrame:
+    """Gopher-style document-level quality gate (Rae et al. 2021, appendix
+    A1.1 — public filtering heuristics; thresholds are parameters because
+    they are corpus-tuned in every published pipeline): token-count range,
+    minimum stop-word ratio, minimum unique-token ratio (repetition gate)
+    and a mean-token-length band.
+
+    Returns ``(doc_id, n_tokens, kept, fail_reasons)`` where
+    ``fail_reasons`` is the comma-joined FIXED-ORDER list of failed rule
+    names (empty string when kept) — the audit trail a curation pipeline
+    keeps so every dropped document is attributable to a rule.
+
+    Scale shape: a pure projection over :func:`quality_features` (JVM
+    expressions only, no shuffle, no UDF); rules compare the same rounded
+    features the feature query exports, so filter decisions are
+    bit-reproducible in any engine."""
+    feats = quality_features(df, text_col, id_col)
+    rules = [
+        ("too_short", F.col("n_tokens") < min_tokens),
+        ("too_long", F.col("n_tokens") > max_tokens),
+        ("low_stopword", F.col("stopword_ratio") < min_stopword_ratio),
+        ("repetitive", F.col("unique_ratio") < min_unique_ratio),
+        (
+            "token_len",
+            (F.col("avg_token_len") < min_avg_token_len)
+            | (F.col("avg_token_len") > max_avg_token_len),
+        ),
+    ]
+    # when(...) without otherwise -> NULL, which concat_ws skips: the
+    # result is the ordered list of failed rules
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in rules]
+    )
+    return feats.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        (reasons == F.lit("")).alias("kept"),
+        reasons.alias("fail_reasons"),
+    )
+
+
+def _word_types(df: DataFrame, text_col: str) -> DataFrame:
+    """Distinct word types with corpus frequency — the vocab-sized state
+    BPE training iterates over (aggregating over types, not the corpus, is
+    what makes BPE feasible at 100 TB: the corpus is read ONCE)."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def _adjacent_pairs(syms: Column) -> Column:
+    """Adjacent (left, right) symbol pairs of a symbol array."""
+    return F.when(
+        F.size(syms) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("sym_left"),
+                F.element_at(syms, i + 1).alias("sym_right"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<sym_left:string,sym_right:string>>"))
+
+
+def _pair_counts(words: DataFrame, syms_col: str = "syms") -> DataFrame:
+    return (
+        words.select("w", F.explode(_adjacent_pairs(F.col(syms_col))).alias("p"))
+        .groupBy(F.col("p.sym_left").alias("sym_left"), F.col("p.sym_right").alias("sym_right"))
+        .agg(F.sum("w").cast("long").alias("pair_count"))
+    )
+
+
+def _char_syms(word: Column) -> Column:
+    return F.transform(
+        F.sequence(F.lit(1), F.length(word)),
+        lambda i: F.substring(word, i, F.lit(1)),
+    )
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Initial byte-pair-encoding statistics (Sennrich, Haddow & Birch,
+    "Neural Machine Translation of Rare Words with Subword Units", ACL
+    2016 — the public BPE algorithm, without the end-of-word marker):
+    corpus word-type frequencies, then character-level adjacent symbol
+    pairs weighted by word frequency.
+
+    Returns ``(sym_left, sym_right, pair_count)`` — the table whose argmax
+    is BPE's first merge.
+
+    Scale shape: one corpus-linear explode + hash aggregation down to word
+    TYPES, then all pair work is vocab-sized; map-side partial aggregation
+    at both levels, no UDF, no window."""
+    words = _word_types(df, text_col)
+    return _pair_counts(words.withColumn("syms", _char_syms(F.col("word"))))
+
+
+def bpe_train(
+    df: DataFrame, num_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Learn ``num_merges`` BPE merges (Sennrich et al. 2016): repeatedly
+    take the most frequent adjacent symbol pair (ties break to the
+    lexicographically SMALLEST (sym_left, sym_right) — a fixed
+    deterministic rule) and fuse it throughout the vocabulary.
+
+    Returns ``(merge_rank, sym_left, sym_right, pair_count)`` — the
+    ordered merge table a tokenizer ships.
+
+    Scale shape: the corpus is read once (word-type aggregation); each
+    round is one vocab-sized aggregation for the argmax (a bounded
+    1-row collect — the merge decision is inherently sequential) plus a
+    fold-based symbol rewrite (``F.aggregate``; greedy left-to-right,
+    matching the reference algorithm). ``localCheckpoint`` per round keeps
+    the plan flat across iterations, the same pattern as
+    :func:`cdc_tools_spark.ops.dedup.connected_components`."""
+    words = (
+        _word_types(df, text_col)
+        .withColumn("syms", _char_syms(F.col("word")))
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(num_merges):
+        top = (
+            _pair_counts(words)
+            .orderBy(F.desc("pair_count"), "sym_left", "sym_right")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, count = (
+            top[0]["sym_left"],
+            top[0]["sym_right"],
+            top[0]["pair_count"],
+        )
+        merges.append((rank, left, right, count))
+        merged, syms = left + right, F.col("syms")
+        head = F.slice(syms, 1, 1)
+        tail = F.when(F.size(syms) > 1, F.slice(syms, 2, F.size(syms) - 1)).otherwise(
+            F.array().cast("array<string>")
+        )
+        # greedy left-to-right fuse: fold each symbol onto the rebuilt
+        # array, replacing the tail element when it completes the pair
+        fused = F.aggregate(
+            tail,
+            head,
+            lambda acc, s: F.when(
+                (F.element_at(acc, -1) == F.lit(left)) & (s == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        words = words.withColumn("syms", fused).localCheckpoint()
+    return words.sparkSession.createDataFrame(
+        merges,
+        "merge_rank bigint, sym_left string, sym_right string, pair_count bigint",
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 128,

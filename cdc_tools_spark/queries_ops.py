@@ -90,6 +90,36 @@ def q_corpus_vocab(spark, sf_dir):
     )
 
 
+def q_quality_filter(spark, sf_dir):
+    """Gopher-style doc-level quality gate: token-count range, stop-word
+    floor, uniqueness floor, mean-token-length band; per-doc kept flag +
+    ordered fail_reasons audit trail (thresholds tuned to the fixture
+    corpus so every rule fires somewhere)."""
+    return X.quality_filter(_docs(spark, sf_dir))
+
+
+def q_bpe_pairs(spark, sf_dir):
+    """Initial BPE statistics (Sennrich 2016): char-level adjacent symbol
+    pairs weighted by word-type corpus frequency."""
+    return X.bpe_pair_counts(_docs(spark, sf_dir))
+
+
+def q_bpe_merges(spark, sf_dir):
+    """First 8 learned BPE merges (sequential argmax + vocab rewrite per
+    round — inherently iterative, so no single-SQL oracle; verified by the
+    hand-computed classic-corpus unit test instead)."""
+    return X.bpe_train(_docs(spark, sf_dir), num_merges=8)
+
+
+def q_key_profile_events(spark, sf_dir):
+    """Heavy-hitter key-skew profile of events.user_id: top-20 keys with
+    share and cumulative share — the pre-shuffle skew diagnostic."""
+    from cdc_tools_spark.ops.profile import key_profile
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return key_profile(ev, "user_id", top_k=20)
+
+
 # -- dedup ------------------------------------------------------------------
 
 
@@ -578,7 +608,7 @@ _LANG_SQL = (
     + " END AS lang_pred FROM scored"
 )
 
-ORACLES: dict[str, str | None] = {
+ORACLES: dict[str, str | None] = {  # None => sequential algorithm, no single-SQL oracle (rows-only driver check)
     "text_quality": _TOKS_CTE
     + rf"""
 SELECT doc_id,
@@ -667,6 +697,57 @@ per_doc AS (
 SELECT token, CAST(sum(c) AS BIGINT) AS n_occurrences,
   CAST(count(*) AS BIGINT) AS doc_freq
 FROM per_doc GROUP BY token HAVING count(*) >= 2
+""",
+    "quality_filter": _TOKS_CTE
+    + rf""",
+feats AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    round(CASE WHEN len(toks) > 0
+      THEN CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE) / len(toks)
+      ELSE 0 END, 6) AS stopword_ratio,
+    round(CASE WHEN len(toks) > 0
+      THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0 END, 6) AS unique_ratio,
+    round(CASE WHEN len(toks) > 0
+      THEN CAST(length(regexp_replace(tt, '\s+', '', 'g')) AS DOUBLE) / len(toks)
+      ELSE 0 END, 6) AS avg_token_len
+  FROM toks_arr),
+flagged AS (
+  SELECT doc_id, n_tokens,
+    concat_ws(',',
+      CASE WHEN n_tokens < 20 THEN 'too_short' END,
+      CASE WHEN n_tokens > 90 THEN 'too_long' END,
+      CASE WHEN stopword_ratio < 0.02 THEN 'low_stopword' END,
+      CASE WHEN unique_ratio < 0.35 THEN 'repetitive' END,
+      CASE WHEN avg_token_len < 3.8 OR avg_token_len > 5.2 THEN 'token_len' END
+    ) AS fail_reasons
+  FROM feats)
+SELECT doc_id, n_tokens, fail_reasons = '' AS kept, fail_reasons FROM flagged
+""",
+    "bpe_pairs": r"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents WHERE len(trim(text)) > 0),
+wc AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+pr AS (
+  SELECT substr(w, CAST(i AS INT), 1) AS sym_left,
+         substr(w, CAST(i AS INT) + 1, 1) AS sym_right, c
+  FROM wc, unnest(generate_series(1, length(w) - 1)) g(i)
+  WHERE length(w) >= 2)
+SELECT sym_left, sym_right, CAST(sum(c) AS BIGINT) AS pair_count
+FROM pr GROUP BY 1, 2
+""",
+    "bpe_merges": None,  # sequential argmax loop: no single-SQL oracle
+    "key_profile_events": """
+WITH c AS (SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id),
+t AS (SELECT sum(n_rows) AS tot FROM c),
+top AS (SELECT user_id, n_rows FROM c ORDER BY n_rows DESC, user_id LIMIT 20)
+SELECT CAST(row_number() OVER (ORDER BY n_rows DESC, user_id) AS BIGINT) AS "rank",
+  user_id, CAST(n_rows AS BIGINT) AS n_rows,
+  round(n_rows * 1.0 / t.tot, 6) AS share,
+  round(sum(n_rows) OVER (ORDER BY n_rows DESC, user_id ROWS UNBOUNDED PRECEDING)
+        * 1.0 / t.tot, 6) AS cum_share
+FROM top, t
 """,
     "text_fingerprint": _TOKS_CTE
     + """
@@ -1257,6 +1338,10 @@ def queries():
         "decontaminate": q_decontaminate,
         "contamination_overlap": q_contamination_overlap,
         "corpus_vocab": q_corpus_vocab,
+        "quality_filter": q_quality_filter,
+        "bpe_pairs": q_bpe_pairs,
+        "bpe_merges": q_bpe_merges,
+        "key_profile_events": q_key_profile_events,
         "text_chunking": q_text_chunking,
         "corpus_split_sample": q_corpus_split_sample,
         "training_mix": q_training_mix,

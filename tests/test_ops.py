@@ -583,3 +583,187 @@ def test_decontaminate_threshold_and_gram_cap(spark):
     # shared grams t1t2t3/t2t3t4/t3t4t5 occur in both train docs -> capped
     # out; doc 1 retains only t4t5t6 (freq 1) = 1 < 2 -> kept
     assert capped[1]["kept"] and capped[2]["kept"]
+
+
+def test_ivf_recall_sweep_monotone_and_perfect_at_full_probe(spark):
+    """Recall is non-decreasing in n_probe and reaches exactly 1.0 when
+    every list is probed (the approximate search degrades to exact over
+    the same candidate universe)."""
+    from cdc_tools_spark.ops.similarity import ivf_recall_sweep
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.where((F.col("vec_id") % 5) == 0)
+    out = {
+        r["n_probe"]: r
+        for r in ivf_recall_sweep(
+            emb, qs, k=5, n_lists=8, probes=(1, 4, 8)
+        ).collect()
+    }
+    assert set(out) == {1, 4, 8}
+    n_q = qs.count()
+    assert all(r["n_queries"] == n_q for r in out.values())
+    assert out[1]["avg_recall"] <= out[4]["avg_recall"] <= out[8]["avg_recall"]
+    assert out[8]["avg_recall"] == 1.0  # all 8 lists probed == exact
+
+
+def test_bpe_train_classic_corpus(spark):
+    """Hand-computed Sennrich-style example: vocab {low x5, lower x2,
+    newest x6, widest x3}. Pairs: (e,s)=9, (s,t)=9 tie -> lex-smallest
+    (e,s) merges first; then (es,t)=9; then (l,o)=(o,w)=7 tie -> (l,o);
+    then (lo,w)=7."""
+    from cdc_tools_spark.ops.text import bpe_pair_counts, bpe_train
+
+    corpus = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    df = spark.createDataFrame([(0, corpus)], schema="doc_id long, text string")
+
+    pairs = {
+        (r["sym_left"], r["sym_right"]): r["pair_count"]
+        for r in bpe_pair_counts(df).collect()
+    }
+    assert pairs[("e", "s")] == 9 and pairs[("s", "t")] == 9
+    assert pairs[("l", "o")] == 7 and pairs[("o", "w")] == 7
+    assert pairs[("w", "e")] == 8  # lower x2 + newest x6
+
+    merges = [
+        (r["sym_left"], r["sym_right"], r["pair_count"])
+        for r in bpe_train(df, num_merges=4).orderBy("merge_rank").collect()
+    ]
+    assert merges == [("e", "s", 9), ("es", "t", 9), ("l", "o", 7), ("lo", "w", 7)]
+
+
+def test_bpe_train_stops_when_no_pairs(spark):
+    from cdc_tools_spark.ops.text import bpe_train
+
+    df = spark.createDataFrame([(0, "a b c")], schema="doc_id long, text string")
+    assert bpe_train(df, num_merges=5).count() == 0  # all 1-char words
+
+
+def test_quality_filter_each_rule_fires(spark):
+    from cdc_tools_spark.ops.text import quality_filter
+
+    rows = [
+        (0, "word " * 5),                       # 5 tokens -> too_short
+        (1, " ".join(f"w{i} the" for i in range(50))),  # 100 tokens -> too_long
+        (2, " ".join(f"unique{i} word{i}" for i in range(15))),  # no stopwords
+        (3, "the same " * 15),                  # low uniqueness
+        (4, "the " + " ".join(f"extraordinarily{i}" for i in range(24))),  # long tokens
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = {r["doc_id"]: r for r in quality_filter(df).collect()}
+    assert not out[0]["kept"] and "too_short" in out[0]["fail_reasons"]
+    assert not out[1]["kept"] and "too_long" in out[1]["fail_reasons"]
+    assert not out[2]["kept"] and "low_stopword" in out[2]["fail_reasons"]
+    assert not out[3]["kept"] and "repetitive" in out[3]["fail_reasons"]
+    assert not out[4]["kept"] and "token_len" in out[4]["fail_reasons"]
+    # fail_reasons is ordered by rule position, comma-joined
+    assert out[3]["fail_reasons"].split(",")[0] in ("too_short", "repetitive")
+
+
+def test_quality_filter_keeps_good_doc(spark):
+    from cdc_tools_spark.ops.text import quality_filter
+
+    text = " ".join(
+        f"token{i} the small" for i in range(10)
+    )  # 30 tokens, stopwords present, unique-ish, ~5-char tokens
+    df = spark.createDataFrame([(0, text)], schema="doc_id long, text string")
+    row = quality_filter(df).collect()[0]
+    assert row["kept"] and row["fail_reasons"] == ""
+
+
+def test_key_profile_hand_computed(spark):
+    from cdc_tools_spark.ops.profile import key_profile
+
+    df = spark.createDataFrame(
+        [(k,) for k in ["a"] * 5 + ["b"] * 3 + ["c"] * 2], schema="k string"
+    )
+    out = key_profile(df, "k", top_k=2).collect()
+    assert [(r["rank"], r["k"], r["n_rows"]) for r in out] == [(1, "a", 5), (2, "b", 3)]
+    assert out[0]["share"] == 0.5 and out[0]["cum_share"] == 0.5
+    assert out[1]["share"] == 0.3 and out[1]["cum_share"] == 0.8
+
+
+def test_key_profile_tie_breaks_to_smallest_key(spark):
+    from cdc_tools_spark.ops.profile import key_profile
+
+    df = spark.createDataFrame(
+        [(k,) for k in ["z"] * 2 + ["y"] * 2 + ["x"]], schema="k string"
+    )
+    out = key_profile(df, "k", top_k=3).collect()
+    assert [r["k"] for r in out] == ["y", "z", "x"]
+
+
+def _ref_bpe(word_freqs, num_merges):
+    """Pure-Python reference of Sennrich BPE with the engine's exact
+    tie-break (max count, then lexicographically smallest pair) and the
+    same greedy left-to-right fuse."""
+    vocab = {tuple(w): c for w, c in word_freqs.items()}
+    merges = []
+    for rank in range(num_merges):
+        pairs = {}
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        (left, right), count = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, left, right, count))
+        fused = {}
+        for syms, cnt in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            fused[tuple(out)] = fused.get(tuple(out), 0) + cnt
+        vocab = fused
+    return merges
+
+
+def test_bpe_train_matches_python_reference_on_random_corpora(spark):
+    """Seeded random corpora (small alphabet => dense pair collisions and
+    repeated-symbol words — the fold's hard cases): the distributed merge
+    table must equal the reference bit-for-bit, ranks, pairs and counts."""
+    import random
+
+    from cdc_tools_spark.ops.text import bpe_train
+
+    rng = random.Random(20260817)
+    for trial in range(3):
+        words = [
+            "".join(rng.choice("aab") for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(5, 25))
+        ]
+        corpus = " ".join(words)
+        freqs = {}
+        for w in words:
+            freqs[w] = freqs.get(w, 0) + 1
+        expect = _ref_bpe(freqs, num_merges=5)
+        df = spark.createDataFrame(
+            [(0, corpus)], schema="doc_id long, text string"
+        )
+        got = [
+            (r["merge_rank"], r["sym_left"], r["sym_right"], r["pair_count"])
+            for r in bpe_train(df, num_merges=5).orderBy("merge_rank").collect()
+        ]
+        assert got == expect, f"trial {trial}: {got} != {expect}"
+
+
+def test_new_curation_ops_plan_shape(spark):
+    """quality_filter is a pure projection (no shuffle, no Python UDF);
+    bpe_pair_counts and key_profile never leave the JVM."""
+    from cdc_tools_spark.ops.profile import key_profile
+    from cdc_tools_spark.ops.text import bpe_pair_counts, quality_filter
+
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox"), (1, "jumps over the lazy dog")],
+        schema="doc_id long, text string",
+    )
+    qplan = quality_filter(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in qplan and "BatchEvalPython" not in qplan
+
+    for df in (bpe_pair_counts(docs), key_profile(docs, "doc_id", 5)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

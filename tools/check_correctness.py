@@ -47,10 +47,14 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = entry.queries(), entry.oracle_sql()
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"unknown query names: {sorted(unknown)}")
+            sys.exit(2)
+        qs = {n: f for n, f in qs.items() if n in only}
     failures = []
     for name, fn in qs.items():
-        if only and name not in only:
-            continue
         t0 = time.time()
         try:
             got = normalize(fn(spark, sf_dir).toPandas())
