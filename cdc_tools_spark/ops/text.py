@@ -16,7 +16,7 @@ implementation and the DuckDB oracle, so results are bit-comparable:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
@@ -402,6 +402,63 @@ def chunk_documents(
         F.col("chunk_id").cast("long").alias("chunk_id"),
         F.concat_ws(" ", F.col("_w")).alias("chunk_text"),
         F.size("_w").cast("long").alias("n_tokens"),
+    )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    seq_len: int = 256,
+    n_shards: int = 8,
+    salt: str = "p1",
+    id_col: str = "doc_id",
+    chunk_col: str = "chunk_id",
+    tok_col: str = "n_tokens",
+) -> DataFrame:
+    """Sequence packing — the step between chunking and training: chunks
+    are concatenated in deterministic (doc, chunk) order and cut every
+    ``seq_len`` tokens into training examples (concat-and-split packing,
+    the standard pre-training practice; cut points fall mid-document by
+    design).
+
+    Packing is SHARD-LOCAL: each document hashes to one of ``n_shards``
+    via the same md5-uniform as :func:`hash_split`, and the running token
+    offset is computed within the shard only. That makes the operation
+    embarrassingly parallel — no global order, no single-partition window
+    — at the cost of at most one partial sequence per shard boundary. A
+    shard's packing is invariant to every other shard's content, so packs
+    are reproducible shard-by-shard. At 100 TB, ``n_shards`` is the
+    parallelism knob: size it so one shard's chunk rows sort comfortably
+    in one task (the per-shard window is a partition-local sort).
+
+    Returns one row per chunk: ``(doc_id, chunk_id, shard, start_tok,
+    pack_id, n_tokens)`` where ``start_tok`` is the chunk's token offset
+    within its shard's concatenation and ``pack_id`` the sequence index
+    (``start_tok div seq_len``) its first token lands in."""
+    shard = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(n_shards),
+    ).cast("long")
+    sharded = chunks.withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy(id_col, chunk_col)
+    start = F.coalesce(
+        F.sum(tok_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    ).cast("long")
+    return sharded.select(
+        F.col(id_col),
+        F.col(chunk_col),
+        F.col("shard"),
+        start.alias("start_tok"),
+        F.floor(start / F.lit(seq_len)).cast("long").alias("pack_id"),
+        F.col(tok_col).cast("long").alias(tok_col),
     )
 
 

@@ -120,6 +120,14 @@ def q_key_profile_events(spark, sf_dir):
     return key_profile(ev, "user_id", top_k=20)
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Chunk → shard-local concat-and-split sequence packing: each chunk's
+    shard, token offset within the shard's concatenation, and the pack
+    (training-sequence) index its first token lands in."""
+    chunks = X.chunk_documents(_docs(spark, sf_dir), chunk_tokens=64, overlap=8)
+    return X.pack_sequences(chunks, seq_len=256, n_shards=8)
+
+
 # -- dedup ------------------------------------------------------------------
 
 
@@ -1221,6 +1229,44 @@ chunked AS (
 SELECT doc_id, chunk_id, md5(chunk_text) AS chunk_md5, n_tokens FROM chunked
 """
 
+ORACLES["pack_sequences"] = r"""
+WITH tok_pos AS (
+  SELECT doc_id,
+    unnest(string_split_regex(trim(text), '\s+')) AS tok,
+    generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+  FROM documents WHERE len(trim(text)) > 0),
+counts AS (SELECT doc_id, max(pos) AS n FROM tok_pos GROUP BY doc_id),
+nch AS (
+  SELECT doc_id,
+    CASE WHEN n <= 64 THEN 1
+         ELSE 1 + CAST(floor((n - 64 + 55) / 56.0) AS BIGINT) END AS n_chunks
+  FROM counts),
+cseq AS (
+  SELECT doc_id, unnest(generate_series(0, CAST(n_chunks AS INT) - 1)) AS c
+  FROM nch),
+chunked AS (
+  SELECT t.doc_id, s.c AS chunk_id, CAST(count(*) AS BIGINT) AS n_tokens
+  FROM cseq s
+  JOIN tok_pos t ON t.doc_id = s.doc_id
+    AND t.pos BETWEEN s.c * 56 + 1 AND s.c * 56 + 64
+  GROUP BY t.doc_id, s.c),
+sh AS (
+  SELECT doc_id, chunk_id, n_tokens,
+    CAST(('0x' || substr(md5('p1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8
+      AS shard
+  FROM chunked),
+packed AS (
+  SELECT doc_id, chunk_id, shard, n_tokens,
+    COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+  FROM sh)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, CAST(shard AS BIGINT) AS shard,
+  CAST(start_tok AS BIGINT) AS start_tok,
+  CAST(floor(start_tok / 256.0) AS BIGINT) AS pack_id,
+  n_tokens
+FROM packed
+"""
+
 ORACLES["corpus_split_sample"] = """
 WITH u AS (
   SELECT doc_id,
@@ -1343,6 +1389,7 @@ def queries():
         "bpe_merges": q_bpe_merges,
         "key_profile_events": q_key_profile_events,
         "text_chunking": q_text_chunking,
+        "pack_sequences": q_pack_sequences,
         "corpus_split_sample": q_corpus_split_sample,
         "training_mix": q_training_mix,
         "training_mix_simhash": q_training_mix_simhash,

@@ -767,3 +767,61 @@ def test_new_curation_ops_plan_shape(spark):
     for df in (bpe_pair_counts(docs), key_profile(docs, "doc_id", 5)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pack_sequences_hand_computed_single_shard(spark):
+    """One shard: chunks concat in (doc, chunk) order; start offsets are
+    exclusive prefix sums; pack_id = start div seq_len (a chunk may
+    straddle packs — concat-and-split cuts mid-chunk by design)."""
+    from cdc_tools_spark.ops.text import pack_sequences
+
+    chunks = spark.createDataFrame(
+        [(0, 0, 10), (0, 1, 10), (1, 0, 5), (1, 1, 7)],
+        schema="doc_id long, chunk_id long, n_tokens long",
+    )
+    out = {
+        (r["doc_id"], r["chunk_id"]): (r["start_tok"], r["pack_id"])
+        for r in pack_sequences(chunks, seq_len=16, n_shards=1).collect()
+    }
+    assert out == {
+        (0, 0): (0, 0),
+        (0, 1): (10, 0),
+        (1, 0): (20, 1),
+        (1, 1): (25, 1),
+    }
+
+
+def test_pack_sequences_shard_isolation(spark):
+    """A shard's packing never changes when OTHER shards gain documents —
+    the property that makes shard-by-shard reproduction possible."""
+    from cdc_tools_spark.ops.text import pack_sequences
+
+    base = spark.createDataFrame(
+        [(i, 0, 10) for i in range(20)],
+        schema="doc_id long, chunk_id long, n_tokens long",
+    )
+    before = pack_sequences(base, seq_len=16, n_shards=4).collect()
+    shard_of = {r["doc_id"]: r["shard"] for r in before}
+    # grow every shard EXCEPT the one doc 0 lives in
+    keep = shard_of[0]
+    grown = base.unionByName(
+        spark.createDataFrame(
+            [(100 + i, 0, 10) for i in range(20)],
+            schema="doc_id long, chunk_id long, n_tokens long",
+        )
+    )
+    after = pack_sequences(grown, seq_len=16, n_shards=4).collect()
+    before_keep = {
+        (r["doc_id"], r["chunk_id"]): (r["start_tok"], r["pack_id"])
+        for r in before
+        if r["shard"] == keep
+    }
+    after_keep = {
+        (r["doc_id"], r["chunk_id"]): (r["start_tok"], r["pack_id"])
+        for r in after
+        if r["shard"] == keep and r["doc_id"] < 100
+    }
+    # new docs may land in shard `keep` too; restrict to ones sorting
+    # after the originals (ids 100+ sort after 0..19, so originals'
+    # prefix sums are unchanged)
+    assert before_keep == after_keep
