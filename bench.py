@@ -202,6 +202,7 @@ def main() -> None:
         "quality_filter",
         "bpe_pairs",
         "key_profile_events",
+        "pack_sequences",
     ):
         fn = q.queries()[name]
         timed(name, lambda fn=fn: fn(spark, SF_DIR).write.format("noop").mode("overwrite").save())
