@@ -434,6 +434,10 @@ def pack_sequences(
     pack_id, n_tokens)`` where ``start_tok`` is the chunk's token offset
     within its shard's concatenation and ``pack_id`` the sequence index
     (``start_tok div seq_len``) its first token lands in."""
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
     shard = F.pmod(
         F.conv(
             F.substring(
