@@ -22,7 +22,10 @@ def key_profile(df: DataFrame, key_col: str, top_k: int = 20) -> DataFrame:
     AQE skew handling.
 
     Returns ``(rank, <key_col>, n_rows, share, cum_share)`` ordered by
-    descending count (ties break to the smallest key — deterministic).
+    descending count (ties break to the smallest key, NULL last —
+    deterministic, and matching ANSI ``ORDER BY ... NULLS LAST`` so the
+    DuckDB oracle agrees; a NULL key is a classic hot key and profiles
+    like any other value).
 
     Scale shape: ``groupBy(key).count()`` is one shuffle with map-side
     partial aggregation (key-cardinality-sized, not corpus-sized); the
@@ -31,12 +34,9 @@ def key_profile(df: DataFrame, key_col: str, top_k: int = 20) -> DataFrame:
     single-partition window is bounded by k, never by data size."""
     counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_rows"))
     total = counts.agg(F.sum("n_rows").alias("_total"))
-    top = (
-        counts.orderBy(F.desc("n_rows"), key_col)
-        .limit(top_k)
-        .crossJoin(F.broadcast(total))
-    )
-    w = Window.orderBy(F.desc("n_rows"), key_col)
+    order = [F.desc("n_rows"), F.col(key_col).asc_nulls_last()]
+    top = counts.orderBy(*order).limit(top_k).crossJoin(F.broadcast(total))
+    w = Window.orderBy(*order)
     return (
         top.withColumn("rank", F.row_number().over(w).cast("long"))
         .withColumn("share", F.round(F.col("n_rows") / F.col("_total"), 6))

@@ -405,6 +405,21 @@ def chunk_documents(
     )
 
 
+def _md5_u32(salt: str, id_col: str) -> Column:
+    """First 8 md5 hex chars of ``salt:id`` as a uint32-ranged long — the
+    ONE deterministic-uniform primitive behind :func:`hash_split`,
+    :func:`deterministic_sample` and :func:`pack_sequences`; their DuckDB
+    oracles replicate this exact recipe, so any change here must change
+    all three oracles together."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
 def pack_sequences(
     chunks: DataFrame,
     seq_len: int = 256,
@@ -438,18 +453,7 @@ def pack_sequences(
         raise ValueError("seq_len must be positive")
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
-    shard = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(n_shards),
-    ).cast("long")
+    shard = F.pmod(_md5_u32(salt, id_col), F.lit(n_shards)).cast("long")
     sharded = chunks.withColumn("shard", shard)
     w = Window.partitionBy("shard").orderBy(id_col, chunk_col)
     start = F.coalesce(
@@ -480,14 +484,7 @@ def hash_split(
     hence bit-reproducible in any engine."""
     weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
     total = sum(weights.values())
-    u = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("double")
-        / F.lit(float(1 << 32))
-    )
+    u = _md5_u32(salt, id_col).cast("double") / F.lit(float(1 << 32))
     acc = 0.0
     expr = None
     names = list(weights)
@@ -513,12 +510,5 @@ def deterministic_sample(
     :func:`hash_split` — reproducible across engines, runs and corpus
     growth (unlike ``df.sample``, whose output depends on partitioning).
     Compose mixes by sampling each source at its own rate before union."""
-    u = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("double")
-        / F.lit(float(1 << 32))
-    )
+    u = _md5_u32(salt, id_col).cast("double") / F.lit(float(1 << 32))
     return df.where(u < F.lit(float(rate)))

@@ -14,13 +14,23 @@ Stages (each an independent, restartable write under ``--out``):
 
 1. ``bpe/`` — the learned BPE merge table (Sennrich 2016: the corpus is
    read ONCE into word-type frequencies; every merge round is vocab-sized)
-   plus the initial pair statistics for audit;
+   plus the initial pair statistics for audit — exported for the
+   trainer's tokenizer;
 2. ``splits/`` — deterministic per-doc train/val/test assignment (md5 on
    id: stable under corpus growth — a doc never migrates);
-3. ``chunks/`` — fixed-size token windows with overlap;
-4. ``packs/`` — shard-local concat-and-split sequence packing, written
-   ``partitionBy(shard)`` so a trainer (or a repack of one shard) reads
-   exactly the shard directories it owns.
+3. ``chunks/`` — fixed-size token windows with overlap, over the TRAIN
+   split only (val/test docs must never reach the training packs —
+   packing after the split is what keeps held-out text out, and a
+   post-hoc filter would invalidate every pack's prefix sum);
+4. ``packs/`` — shard-local concat-and-split sequence packing of the
+   train chunks, written ``partitionBy(shard)`` so a trainer (or a
+   repack of one shard) reads exactly the shard directories it owns.
+
+Units: chunking and packing count WHITESPACE tokens (the engine's
+canonical tokenization), not BPE tokens — pick ``--chunk-tokens`` /
+``--seq-len`` with your tokenizer's fertility factor in mind (BPE
+tokens per word, readable off ``bpe/pair_counts`` vs the vocab) if the
+trainer consumes at a BPE context length.
 
 At 100 TB: BPE iterates over word TYPES, not the corpus; chunking is a
 shuffle-free array projection; packing windows within hash shards only
@@ -80,12 +90,17 @@ def main() -> int:
     merges = bpe_train(docs, num_merges=args.num_merges)
     merges.write.mode("overwrite").parquet(os.path.join(args.out, "bpe", "merges"))
 
-    hash_split(docs).write.mode("overwrite").parquet(
-        os.path.join(args.out, "splits")
+    splits = hash_split(docs)
+    splits.write.mode("overwrite").parquet(os.path.join(args.out, "splits"))
+    train_docs = docs.join(
+        spark.read.parquet(os.path.join(args.out, "splits"))
+        .where(F.col("split") == "train")
+        .select("doc_id"),
+        "doc_id",
     )
 
     chunks = chunk_documents(
-        docs, chunk_tokens=args.chunk_tokens, overlap=args.overlap
+        train_docs, chunk_tokens=args.chunk_tokens, overlap=args.overlap
     )
     chunks.write.mode("overwrite").parquet(os.path.join(args.out, "chunks"))
 

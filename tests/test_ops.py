@@ -657,8 +657,9 @@ def test_quality_filter_each_rule_fires(spark):
     assert not out[2]["kept"] and "low_stopword" in out[2]["fail_reasons"]
     assert not out[3]["kept"] and "repetitive" in out[3]["fail_reasons"]
     assert not out[4]["kept"] and "token_len" in out[4]["fail_reasons"]
-    # fail_reasons is ordered by rule position, comma-joined
-    assert out[3]["fail_reasons"].split(",")[0] in ("too_short", "repetitive")
+    # fail_reasons is ordered by rule position, comma-joined: doc 3 fails
+    # both 'repetitive' and 'token_len' (avg 3.5 < 3.8) in that order
+    assert out[3]["fail_reasons"] == "repetitive,token_len"
 
 
 def test_quality_filter_keeps_good_doc(spark):
@@ -825,3 +826,16 @@ def test_pack_sequences_shard_isolation(spark):
     # after the originals (ids 100+ sort after 0..19, so originals'
     # prefix sums are unchanged)
     assert before_keep == after_keep
+
+
+def test_key_profile_null_key_sorts_last_like_ansi(spark):
+    """NULL is a classic hot key; it profiles like any value and ties
+    break NULLS LAST, matching the DuckDB oracle's ANSI default."""
+    from cdc_tools_spark.ops.profile import key_profile
+
+    df = spark.createDataFrame(
+        [(k,) for k in [None] * 2 + ["b"] * 2 + ["a"]], schema="k string"
+    )
+    out = key_profile(df, "k", top_k=3).collect()
+    assert [r["k"] for r in out] == ["b", None, "a"]
+    assert [r["n_rows"] for r in out] == [2, 2, 1]
