@@ -199,13 +199,17 @@ def newest_mtime(path: str, max_entries: int = 4096) -> float:
     (ADVICE r4) — so age-based grace windows must look at the newest file,
     not the directory entry. 0.0 if the path doesn't exist.
 
-    Fails SAFE on truncation (ADVICE r5): if the listing hits
-    ``max_entries`` before exhausting the tree, the walk order is
-    arbitrary and the true newest file may be unseen — so the function
-    returns the CURRENT wall clock instead of a possibly-stale sampled
-    max. Callers use this for 'old enough to delete' decisions; wall
-    clock reads as 'just modified', which can only defer a deletion,
-    never permit an unsafe one."""
+    Fails SAFE on truncation (ADVICE r5): if the listing would have to
+    visit MORE than ``max_entries`` files, the walk order is arbitrary and
+    the true newest file may be unseen — so the function returns the
+    CURRENT wall clock instead of a possibly-stale sampled max. Callers
+    use this for 'old enough to delete' decisions; wall clock reads as
+    'just modified', which can only defer a deletion, never permit an
+    unsafe one. A tree of EXACTLY ``max_entries`` files is fully
+    enumerated and returns its true max (ADVICE r6: the cap must fire on
+    the first *unvisited* entry, not on the last visited one — otherwise
+    any ≥cap-sized version directory permanently reads as 'just modified'
+    and vacuum's grace window never expires: an unbounded storage leak)."""
     if _is_local(path):
         try:
             newest = os.path.getmtime(path)
@@ -214,13 +218,13 @@ def newest_mtime(path: str, max_entries: int = 4096) -> float:
         seen = 0
         for root, _dirs, files in os.walk(path):
             for f in files:
+                if seen >= max_entries:  # an entry remains past the cap
+                    return time.time()
                 try:
                     newest = max(newest, os.path.getmtime(os.path.join(root, f)))
                 except OSError:
                     continue
                 seen += 1
-                if seen >= max_entries:
-                    return time.time()
         return newest
     _, fs, p = _fs(path)
     if not fs.exists(p):
@@ -233,10 +237,10 @@ def newest_mtime(path: str, max_entries: int = 4096) -> float:
             if st.isDirectory():
                 stack.append(st.getPath())
             else:
+                if seen >= max_entries:  # an entry remains past the cap
+                    return time.time()
                 newest = max(newest, st.getModificationTime() / 1000.0)
                 seen += 1
-                if seen >= max_entries:
-                    return time.time()
     return newest
 
 

@@ -66,9 +66,12 @@ def _plan_quantile(
     if n == 0:
         return []
     k = max(1, math.ceil(n / target))
-    probs = [i / k for i in range(1, k)] + [1.0]
-    cuts = [int(c) for c in log.stat.approxQuantile("lsn", probs, rel_err)]
-    min_lsn = log.agg(F.min("lsn")).collect()[0][0]
+    # probability 0.0 rides the same quantile sketch and returns the exact
+    # minimum (the sketch keeps extremes), so the min-lsn bound needs no
+    # second aggregation job (r7: one fewer job per replay)
+    probs = [0.0] + [i / k for i in range(1, k)] + [1.0]
+    qs = log.stat.approxQuantile("lsn", probs, rel_err)
+    min_lsn, cuts = qs[0], [int(c) for c in qs[1:]]
 
     epochs: list[Epoch] = []
     lo = int(min_lsn)

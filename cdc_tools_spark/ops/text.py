@@ -126,6 +126,55 @@ def _gram_rows(
     return df.select(F.col(id_col), F.explode(grams).alias("gram"))
 
 
+def _gram_array(toks: Column, n: int) -> Column:
+    """Token n-gram occurrence array (non-distinct), array-native."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _run_stats(grams_sorted: Column) -> Column:
+    """Run-length stats over a SORTED gram array, in one fold:
+    ``struct(prev, run, best_g, best_c, dup)`` where (best_g, best_c) is
+    the most frequent gram — ties to the lexicographically LARGEST, which
+    in ascending sorted order is simply the LATEST run to reach the best
+    count, so the fold never compares strings for the tie — and ``dup``
+    is the total occurrences sitting in runs of length ≥ 2."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(None).cast("string").alias("best_g"),
+        F.lit(0).cast("long").alias("best_c"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def step(acc: Column, g: Column) -> Column:
+        new_run = (
+            F.when(g == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .cast("long")
+        )
+        better = new_run >= acc["best_c"]
+        return F.struct(
+            g.alias("prev"),
+            new_run.alias("run"),
+            F.when(better, g).otherwise(acc["best_g"]).alias("best_g"),
+            F.when(better, new_run).otherwise(acc["best_c"]).alias("best_c"),
+            (
+                acc["dup"]
+                + F.when(new_run == 2, F.lit(2))
+                .when(new_run > 2, F.lit(1))
+                .otherwise(F.lit(0))
+            ).cast("long").alias("dup"),
+        )
+
+    return F.aggregate(grams_sorted, init, step)
+
+
 def repetition_features(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -145,47 +194,36 @@ def repetition_features(
     * ``dup_trigram_frac`` — fraction of 3-gram OCCURRENCES whose gram
       appears more than once in the doc.
 
-    Scale shape: one explode + per-(doc, gram) hash aggregation + per-doc
-    hash aggregation per n — map-side partial aggregation applies at both
-    levels; no corpus-wide window, no UDF. Grouping key cardinality is
-    bounded by total token count, linear in corpus size."""
-    bic = _gram_rows(df, 2, text_col, id_col).groupBy(id_col, "gram").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    bid = (
-        bic.groupBy(id_col)
-        .agg(
-            F.max(F.struct(F.col("c"), F.col("gram"))).alias("top"),
-            F.sum("c").alias("tot"),
-        )
-        .select(
-            id_col,
-            F.col("top.gram").alias("top_bigram"),
-            F.col("top.c").cast("long").alias("top_bigram_count"),
-            F.round(F.col("top.c") / F.col("tot"), 6).alias("top_bigram_frac"),
-        )
-    )
-    tric = _gram_rows(df, 3, text_col, id_col).groupBy(id_col, "gram").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    trid = tric.groupBy(id_col).agg(
-        F.round(
-            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)) / F.sum("c"), 6
-        ).alias("dup_trigram_frac")
-    )
-    return (
-        df.select(id_col)
-        .join(bid, id_col, "left")
-        .join(trid, id_col, "left")
-        .select(
-            id_col,
-            "top_bigram",
-            F.coalesce("top_bigram_count", F.lit(0)).cast("long").alias(
-                "top_bigram_count"
-            ),
-            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
-            F.coalesce("dup_trigram_frac", F.lit(0.0)).alias("dup_trigram_frac"),
-        )
+    Scale shape: a pure per-document projection — every signal depends on
+    one document only, so each doc sorts its own gram array and folds run
+    lengths in place (``array_sort`` + ``aggregate``): **zero shuffle,
+    zero explode**. The round-6 implementation exploded the corpus into
+    per-occurrence gram rows and paid two corpus-sized two-level hash
+    aggregations plus two joins back (optimization guide §2.4: remove
+    shuffles outright when the grouping key is the row itself). The
+    sorted-run tie rule reproduces ``max(struct(c, gram))`` exactly: equal
+    counts resolve to the later = lexicographically larger gram."""
+    toks = tokens(text_col)
+    bi = F.array_sort(_gram_array(toks, 2))
+    tri = F.array_sort(_gram_array(toks, 3))
+    return df.select(
+        F.col(id_col),
+        _run_stats(bi).alias("_bs"),
+        _run_stats(tri).alias("_ts"),
+        F.size(bi).cast("long").alias("_nbi"),
+        F.size(tri).cast("long").alias("_ntri"),
+    ).select(
+        F.col(id_col),
+        F.col("_bs.best_g").alias("top_bigram"),
+        F.col("_bs.best_c").alias("top_bigram_count"),
+        F.when(
+            F.col("_nbi") > 0,
+            F.round(F.col("_bs.best_c") / F.col("_nbi"), 6),
+        ).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+        F.when(
+            F.col("_ntri") > 0,
+            F.round(F.col("_ts.dup") / F.col("_ntri"), 6),
+        ).otherwise(F.lit(0.0)).alias("dup_trigram_frac"),
     )
 
 

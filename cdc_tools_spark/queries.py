@@ -29,6 +29,7 @@ from cdc_tools_spark.sources.binlog import (
     changelog_from_events,
     changelog_sql,
 )
+from cdc_tools_spark.sources.scan import parallel_read
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -50,7 +51,7 @@ compacted AS (SELECT * FROM ranked WHERE rn = 1)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return parallel_read(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
 # ---------------------------------------------------------------------------

@@ -13,16 +13,17 @@ from pyspark.sql import DataFrame, SparkSession
 from cdc_tools_spark.ops import dedup as D
 from cdc_tools_spark.ops import similarity as S
 from cdc_tools_spark.ops import text as X
+from cdc_tools_spark.sources.scan import parallel_read
 
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in X.STOPWORDS) + "]"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return parallel_read(spark, os.path.join(sf_dir, "documents.parquet"))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return parallel_read(spark, os.path.join(sf_dir, "embeddings.parquet"))
 
 
 # -- text analysis ----------------------------------------------------------
@@ -116,7 +117,7 @@ def q_key_profile_events(spark, sf_dir):
     share and cumulative share — the pre-shuffle skew diagnostic."""
     from cdc_tools_spark.ops.profile import key_profile
 
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = parallel_read(spark, os.path.join(sf_dir, "events.parquet"))
     return key_profile(ev, "user_id", top_k=20)
 
 

@@ -166,7 +166,9 @@ def changelog_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shares one SQL derivation with the DuckDB oracle so every downstream
     operator is oracle-checkable end to end.
     """
-    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+    from cdc_tools_spark.sources.scan import parallel_read
+
+    parallel_read(spark, f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
     return spark.sql(changelog_sql("spark"))
 
 
@@ -197,5 +199,7 @@ FROM events
 
 def typed_changelog_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed-payload change log (decimal/date/timestamp) over events.parquet."""
-    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+    from cdc_tools_spark.sources.scan import parallel_read
+
+    parallel_read(spark, f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
     return spark.sql(TYPED_CHANGELOG_SQL)

@@ -242,6 +242,28 @@ def test_newest_mtime_sees_files_under_directory(tmp_path):
     assert fsio.newest_mtime(str(tmp_path / "missing")) == 0.0
 
 
+def test_newest_mtime_exact_cap_is_not_truncation(tmp_path):
+    """A tree of EXACTLY max_entries files is fully enumerated: the true
+    (old) max must come back, not wall clock — otherwise any ≥cap-sized
+    version dir reads 'just modified' forever and vacuum never GCs it
+    (ADVICE r6, medium)."""
+    import os as _os
+    import time as _time
+
+    d = tmp_path / "v-big"
+    d.mkdir()
+    old = _time.time() - 10_000
+    for i in range(4):
+        f = d / f"part-{i}.parquet"
+        f.write_text("x")
+        _os.utime(f, (old, old))
+    _os.utime(d, (old, old))
+    # fully enumerated at the cap: true stale max, vacuum may proceed
+    assert fsio.newest_mtime(str(d), max_entries=4) < _time.time() - 9_000
+    # one MORE file than the cap: genuine truncation -> fail-safe wall clock
+    assert fsio.newest_mtime(str(d), max_entries=3) > _time.time() - 60
+
+
 def test_lifecycle_interleavings_preserve_history(tmp_path):
     """Property: random interleavings of commit / roll / compact /
     crash-mid-roll (chunk created, markers kept) / stale-second-driver
