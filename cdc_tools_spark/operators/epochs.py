@@ -83,12 +83,48 @@ def _plan_quantile(
     return epochs
 
 
-def _plan_exact(log: DataFrame, target: int) -> list[Epoch]:
+def _plan_exact(
+    log: DataFrame, target: int, n_chunks: int = 4096
+) -> list[Epoch]:
+    """Exact event budgets via a TWO-LEVEL prefix sum (r7, VERDICT r6
+    'what's wrong' #2): the former single ``Window.orderBy(lsn)`` put every
+    distinct LSN through one task — effectively corpus-sized at scale.
+    Now LSNs hash into ≤ ``n_chunks`` ordered ranges; the within-chunk
+    running sum is a window PARTITIONED by chunk (parallel, bounded by the
+    chunk's distinct LSNs) and only the ≤ ``n_chunks`` chunk totals pass
+    through a single-partition window (bounded by construction, hence the
+    literal partition key to mark it intentional). Epoch ids are the same
+    exclusive-cumulative-count ÷ target as before — output identical."""
     per_lsn = log.groupBy("lsn").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy("lsn").rowsBetween(Window.unboundedPreceding, -1)
-    assigned = per_lsn.select(
-        "lsn",
-        (F.coalesce(F.sum("cnt").over(w), F.lit(0)) / target).cast("long").alias("epoch_id"),
+    row = per_lsn.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")).first()
+    if row["lo"] is None:
+        return []
+    lo, hi = int(row["lo"]), int(row["hi"])
+    width = max(1, (hi - lo) // n_chunks + 1)
+    chunked = per_lsn.withColumn(
+        "_chunk", F.floor((F.col("lsn") - F.lit(lo)) / F.lit(width)).cast("long")
+    )
+    totals = chunked.groupBy("_chunk").agg(F.sum("cnt").alias("_t"))
+    w_chunks = Window.partitionBy(F.lit(0)).orderBy("_chunk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "_chunk", F.coalesce(F.sum("_t").over(w_chunks), F.lit(0)).alias("_off")
+    )
+    w_local = Window.partitionBy("_chunk").orderBy("lsn").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    assigned = (
+        chunked.withColumn(
+            "_local", F.coalesce(F.sum("cnt").over(w_local), F.lit(0))
+        )
+        .join(offsets, "_chunk")
+        .select(
+            "lsn",
+            ((F.col("_off") + F.col("_local")) / target).cast("long").alias(
+                "epoch_id"
+            ),
+        )
     )
     rows = (
         assigned.groupBy("epoch_id")

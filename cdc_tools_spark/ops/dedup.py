@@ -44,8 +44,17 @@ def word_shingles(
 
     Array-native construction (transform over an index sequence) — no
     explode-then-window shuffle; stays inside whole-stage codegen.
-    """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+
+    The token array is MATERIALIZED as a column before the gram lambda:
+    Catalyst does not share subexpressions across lambda bodies, so
+    referencing the ``split`` expression inside the transform re-split the
+    ENTIRE document once per gram — O(tokens²) work per document (the same
+    trap :func:`winnow_fingerprints` documents; r7, measured 2.3 s → 0.6 s
+    for the sf1.0 shingle pass)."""
+    base = df.where(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks")
+    )
+    toks = F.col("_toks")
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -53,9 +62,8 @@ def word_shingles(
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        df.where(F.length(F.trim(F.col(text_col))) > 0)
-        .select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+    return base.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle")
     )
 
 
@@ -115,6 +123,21 @@ def ngram_jaccard_pairs(
     )
 
 
+def _signatures_from_shingles(
+    sh: DataFrame, num_hashes: int, id_col: str
+) -> DataFrame:
+    """Signature matrix from a prepared ``(id, shingle)`` frame — split out
+    so composed pipelines can hand in a MATERIALIZED shingle set instead of
+    recomputing the explode per consumer (see :func:`neardup_pairs`)."""
+    mins = [
+        F.min(
+            F.md5(F.concat(F.lit(str(s)), F.lit(":"), F.col("shingle")))
+        ).alias(f"mh_{s}")
+        for s in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
 def minhash_signatures_wide(
     df: DataFrame,
     num_hashes: int = 32,
@@ -131,13 +154,7 @@ def minhash_signatures_wide(
     per partition, so shuffle volume is |docs| × partitions rows of k
     columns. One shuffle for the whole signature matrix."""
     sh = word_shingles(df, n, text_col, id_col)
-    mins = [
-        F.min(
-            F.md5(F.concat(F.lit(str(s)), F.lit(":"), F.col("shingle")))
-        ).alias(f"mh_{s}")
-        for s in range(num_hashes)
-    ]
-    return sh.groupBy(id_col).agg(*mins)
+    return _signatures_from_shingles(sh, num_hashes, id_col)
 
 
 def minhash_signatures(
@@ -158,21 +175,9 @@ def minhash_signatures(
     )
 
 
-def lsh_band_index(
-    df: DataFrame,
-    num_hashes: int = 32,
-    rows_per_band: int = 4,
-    n: int = 3,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def _band_index_from_signatures(
+    sig: DataFrame, num_hashes: int, rows_per_band: int, id_col: str
 ) -> DataFrame:
-    """(id, band, band_key) — the corpus's LSH index as a DataFrame: one
-    aggregation for the signature matrix, then a pure projection. The
-    PERSISTABLE artifact of incremental dedup: write it once (bucketed by
-    ``(band, band_key)`` in production so the arriving-batch probe join
-    co-locates), then every new batch joins against it instead of
-    re-banding the corpus."""
-    sig = minhash_signatures_wide(df, num_hashes, n, text_col, id_col)
     n_bands = num_hashes // rows_per_band
     band_keys = [
         F.md5(
@@ -192,6 +197,24 @@ def lsh_band_index(
     )
 
 
+def lsh_band_index(
+    df: DataFrame,
+    num_hashes: int = 32,
+    rows_per_band: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, band_key) — the corpus's LSH index as a DataFrame: one
+    aggregation for the signature matrix, then a pure projection. The
+    PERSISTABLE artifact of incremental dedup: write it once (bucketed by
+    ``(band, band_key)`` in production so the arriving-batch probe join
+    co-locates), then every new batch joins against it instead of
+    re-banding the corpus."""
+    sig = minhash_signatures_wide(df, num_hashes, n, text_col, id_col)
+    return _band_index_from_signatures(sig, num_hashes, rows_per_band, id_col)
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     num_hashes: int = 32,
@@ -209,6 +232,12 @@ def minhash_lsh_candidates(
     comparison ever happens. Total: one shuffle for signatures + the
     band-key equi-join."""
     bands = lsh_band_index(df, num_hashes, rows_per_band, n, text_col, id_col)
+    return _candidates_from_index(bands, id_col)
+
+
+def _candidates_from_index(bands: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing a band key, from a prepared
+    (possibly materialized) band-index frame."""
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -234,9 +263,23 @@ def neardup_pairs(
     :func:`ngram_jaccard_pairs` exists for verification/tests).
 
     Work is bounded by the candidate set: the shingle intersection join
-    runs per candidate pair, never across the corpus."""
-    cand = minhash_lsh_candidates(df, num_hashes, rows_per_band, n, text_col, id_col)
-    sh = word_shingles(df, n, text_col, id_col)
+    runs per candidate pair, never across the corpus.
+
+    The shingle set and band index are MATERIALIZED once
+    (``localCheckpoint`` — the same lineage-cutting device
+    :func:`connected_components` uses): the composed plan otherwise
+    re-evaluates the corpus explode five times (both band self-join sides,
+    both verify sides, the per-doc counts) — measured 10.3 s → 6.6 s at
+    sf1.0 (guide §5 caching: reused AND expensive to recompute). On a
+    cluster the band index is the artifact production persists anyway
+    (:func:`lsh_band_index`); storage cost is the exploded shingle set,
+    linear in corpus size, on executor-local storage."""
+    sh = word_shingles(df, n, text_col, id_col).localCheckpoint()
+    bands = _band_index_from_signatures(
+        _signatures_from_shingles(sh, num_hashes, id_col),
+        num_hashes, rows_per_band, id_col,
+    ).localCheckpoint()
+    cand = _candidates_from_index(bands, id_col)
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     sb = sh.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -304,6 +347,10 @@ def contamination_overlap(
         F.col(id_col).alias("bench_id"), "shingle"
     )
     if max_gram_freq is not None:
+        # the train shingle set feeds BOTH the frequency-cap aggregation
+        # and the semi-join stream side: materialize the explode once
+        # instead of evaluating it twice (guide §5 caching)
+        tr = tr.localCheckpoint()
         ok = (
             tr.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("_n"))
@@ -639,8 +686,14 @@ def minhash_lsh_candidates_incremental(
     Discovery is EXACTLY the subset of the full-corpus LSH candidates that
     touch the batch (band keys are per-doc, sharing one is symmetric), so
     the batch-wise union over a partition of the corpus reproduces the
-    batch-at-once result. Assumes batch and corpus ids are disjoint."""
-    nb = lsh_band_index(new_df, num_hashes, rows_per_band, n, text_col, id_col)
+    batch-at-once result. Assumes batch and corpus ids are disjoint.
+
+    The batch's band index is materialized once (``localCheckpoint``): it
+    feeds the probe join AND both sides of the within-batch self-join, and
+    is batch-sized — cheap to hold, 3× to recompute (guide §5)."""
+    nb = lsh_band_index(
+        new_df, num_hashes, rows_per_band, n, text_col, id_col
+    ).localCheckpoint()
     new_side = nb.select("band", "band_key", F.col(id_col).alias("_new"))
     old_side = corpus_index.select("band", "band_key", F.col(id_col).alias("_old"))
     cross = (
@@ -686,9 +739,12 @@ def neardup_pairs_incremental(
         corpus_index = lsh_band_index(
             corpus_df, num_hashes, rows_per_band, n, text_col, id_col
         )
+    # cand feeds the touched-docs semi-join AND the intersection join;
+    # sh feeds counts and both verify sides — materialize each once
+    # instead of re-running discovery / the explode per consumer (§5)
     cand = minhash_lsh_candidates_incremental(
         new_df, corpus_index, num_hashes, rows_per_band, n, text_col, id_col
-    )
+    ).localCheckpoint()
     cand_ids = (
         cand.select(F.col("doc_a").alias(id_col))
         .union(cand.select(F.col("doc_b").alias(id_col)))
@@ -703,7 +759,7 @@ def neardup_pairs_incremental(
             new_df.select(id_col), id_col, "left_anti"
         )
     )
-    sh = word_shingles(touched, n, text_col, id_col)
+    sh = word_shingles(touched, n, text_col, id_col).localCheckpoint()
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     sb = sh.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -738,6 +794,7 @@ def simhash_block_candidates(
     max_block_freq: int | None = 200,
     text_col: str = "text",
     id_col: str = "doc_id",
+    _sig: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs by SimHash block collision: the 64-bit
     signature splits into ``n_blocks`` contiguous blocks and docs agreeing
@@ -751,7 +808,7 @@ def simhash_block_candidates(
     if 64 % n_blocks:
         raise ValueError("n_blocks must divide 64")
     width = 64 // n_blocks
-    sig = simhash(df, text_col, id_col)
+    sig = _sig if _sig is not None else simhash(df, text_col, id_col)
     blocks = sig.select(
         F.col(id_col),
         F.posexplode(
@@ -799,8 +856,13 @@ def simhash_neardup_pairs(
         raise ValueError(
             "perfect recall needs max_hamming < n_blocks (pigeonhole)"
         )
-    cand = simhash_block_candidates(df, n_blocks, max_block_freq, text_col, id_col)
-    sig = simhash(df, text_col, id_col)
+    # one signature pass shared by discovery (which reads it 3×: the
+    # freq-cap aggregation and both self-join sides) and both verify
+    # joins — materialized once (guide §5)
+    sig = simhash(df, text_col, id_col).localCheckpoint()
+    cand = simhash_block_candidates(
+        df, n_blocks, max_block_freq, text_col, id_col, _sig=sig
+    )
     ham = F.size(
         F.filter(
             F.sequence(F.lit(1), F.lit(64)),
@@ -886,7 +948,9 @@ def winnow_candidates(
     different doc still collides). Shared-fp equi-join over the winnowed
     (≈2/(window+1)-density) set, with the standard deterministic frequency
     cap as the skew guard; never an all-pairs comparison."""
-    fps = winnow_fingerprints(df, k, window, text_col, id_col)
+    # the fingerprint set feeds the freq-cap aggregation and both join
+    # sides — materialize the rolling-hash pass once (guide §5)
+    fps = winnow_fingerprints(df, k, window, text_col, id_col).localCheckpoint()
     if max_fp_freq is not None:
         ok = (
             fps.groupBy("fp")

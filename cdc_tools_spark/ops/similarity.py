@@ -120,7 +120,7 @@ def lsh_buckets(
     vd = _as_double(F.col(vec_col))
     bits = []
     for row in planes:
-        plane = F.array(*[F.lit(float(w)) for w in row])
+        plane = F.lit([float(w) for w in row])  # one array literal, not 64 nodes (r7)
         bits.append(F.when(dot(vd, plane) > 0, F.lit("1")).otherwise(F.lit("0")))
     return df.select(F.col(id_col), F.concat(*bits).alias("bucket"))
 
@@ -145,7 +145,7 @@ def banded_buckets(
     for t in range(num_bands):
         bits = []
         for p in range(t * planes_per_band, (t + 1) * planes_per_band):
-            plane = F.array(*[F.lit(float(w)) for w in planes[p]])
+            plane = F.lit([float(w) for w in planes[p]])  # one array literal (r7)
             bits.append(F.when(dot(vd, plane) > 0, F.lit("1")).otherwise(F.lit("0")))
         band_sigs.append(F.concat(*bits))
     return df.select(
@@ -347,7 +347,7 @@ def ivf_assignments(
     scored_tie = F.array(
         *[
             F.struct(
-                F.round(cosine(vd, F.array(*[F.lit(x) for x in vec])), 6).alias("cos"),
+                F.round(cosine(vd, F.lit([float(x) for x in vec])), 6).alias("cos"),
                 F.lit(-int(cid)).alias("neg_id"),
             )
             for cid, vec in centroids
@@ -536,20 +536,78 @@ def kmeans_train(
     """
     from pyspark.sql import Window
 
+    vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    if k <= literal_cap:
+        # Driver-resident training loop (r7, guide §1.2 per-task work /
+        # §5 driver): at K ≤ literal_cap the centroid table is a bounded
+        # k-row list — the former loop still paid, per iteration, a
+        # count job + a collect job (ivf_assignments' DataFrame branch),
+        # an assign⋈vectors equi-join, a centroid join and a
+        # localCheckpoint job. Now the assignment is the SAME literal
+        # scored-array expression inlined over the vector frame (no join
+        # — the vector column is already in scope) and each iteration
+        # runs exactly ONE distributed job: the mean aggregation, whose
+        # k×dim result is a bounded collect (the same sanctioned scalar
+        # read the BPE argmax uses). Assignment expressions, rounding and
+        # tie rules are byte-identical to ivf_assignments' literal path.
+        cent_list = ivf_centroids(df, k, id_col, vec_col)
+        for _ in range(max(int(n_iter), 0)):
+            scored_tie = F.array(
+                *[
+                    F.struct(
+                        F.round(
+                            cosine(F.col("_v"), F.lit([float(x) for x in vec])),
+                            6,
+                        ).alias("cos"),
+                        F.lit(-int(cid)).alias("neg_id"),
+                    )
+                    for cid, vec in cent_list
+                ]
+            )
+            best = (
+                -F.element_at(F.reverse(F.array_sort(scored_tie)), 1)["neg_id"]
+            ).cast("int")
+            means_rows = (
+                # two-step select: a generator (posexplode) in the SAME
+                # projection as the scored-struct array trips the analyzer
+                # (struct field names degrade to col1/col2 under the
+                # generator rewrite) — assign first, explode second
+                vecs.select(best.alias("list_id"), "_v")
+                .select("list_id", F.posexplode("_v").alias("pos", "val"))
+                .groupBy("list_id", "pos")
+                .agg(F.avg("val").alias("m"))
+                .groupBy("list_id")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                        lambda s: s["m"],
+                    ).alias("_new")
+                )
+                .collect()
+            )
+            new_map = {
+                int(r["list_id"]): [float(x) for x in r["_new"]] for r in means_rows
+            }
+            # empty lists keep their previous centroid (same rule as below)
+            cent_list = [(cid, new_map.get(cid, vec)) for cid, vec in cent_list]
+        return df.sparkSession.createDataFrame(
+            cent_list, "list_id int, centroid array<double>"
+        )
+
     seed = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("centroid"))
     seed = seed.orderBy(id_col).limit(k)
     # row_number runs over the k already-limited rows — a tiny single-task
-    # window, not a corpus-wide sort
+    # window, not a corpus-wide sort; the literal partition key marks it
+    # bounded-by-construction (silences WindowExec's warning, r7)
     cents = (
         seed.select(
-            (F.row_number().over(Window.orderBy(id_col)) - 1)
+            (F.row_number().over(Window.partitionBy(F.lit(0)).orderBy(id_col)) - 1)
             .cast("int")
             .alias("list_id"),
             "centroid",
         )
         .localCheckpoint()
     )
-    vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
     for _ in range(max(int(n_iter), 0)):
         assign = ivf_assignments(
             df,

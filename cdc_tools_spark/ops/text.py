@@ -58,15 +58,20 @@ def _count_in(arr: Column, words: tuple[str, ...]) -> Column:
 
 def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document quality features: lengths, token stats, stopword ratio,
-    uniqueness ratio — the standard cheap pre-training filters."""
-    toks = tokens(text_col)
+    uniqueness ratio — the standard cheap pre-training filters. Tokenizes
+    ONCE into a staged column — the former inline form re-ran the regex
+    split per feature column (r7)."""
+    base = df.select(
+        F.col(id_col), F.col(text_col).alias("_text"), tokens(text_col).alias("_toks")
+    )
+    toks = F.col("_toks")
     n_tok = F.size(toks).cast("long")
-    n_chars = F.length(F.col(text_col)).cast("long")
-    return df.select(
+    n_chars = F.length(F.col("_text")).cast("long")
+    return base.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
         n_tok.alias("n_tokens"),
-        bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
+        bpe_ish_token_count(F.col("_text")).alias("n_bpe_tokens"),
         F.round(
             F.when(n_tok > 0, _count_in(toks, STOPWORDS) / n_tok).otherwise(F.lit(0.0)), 6
         ).alias("stopword_ratio"),
@@ -76,7 +81,7 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         F.round(
             F.when(
                 n_tok > 0,
-                (F.length(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", "")) / n_tok),
+                (F.length(F.regexp_replace(F.trim(F.col("_text")), r"\s+", "")) / n_tok),
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("avg_token_len"),
@@ -85,14 +90,16 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Marker-token language heuristic: hit counts per language, argmax with
-    fixed preference order; no hits at all → 'und'."""
-    toks = tokens(text_col)
+    fixed preference order; no hits at all → 'und'. One staged tokenize
+    (the inline form re-split per language score, r7)."""
+    base = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    toks = F.col("_toks")
     scores = {lang: _count_in(toks, m) for lang, m in LANG_MARKERS.items()}
     best = F.greatest(*[scores[lang] for lang in LANG_ORDER])
     pred = F.lit("und")
     for lang in reversed(LANG_ORDER):  # earlier langs win ties (applied last)
         pred = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(pred)
-    return df.select(
+    return base.select(
         F.col(id_col),
         *[scores[lang].alias(f"score_{lang}") for lang in LANG_ORDER],
         pred.alias("lang_pred"),
@@ -101,12 +108,15 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Key-collision fingerprint: md5 over the sorted distinct token set.
-    Word-order- and duplication-insensitive document identity."""
-    toks = tokens(text_col)
-    return df.select(
+    Word-order- and duplication-insensitive document identity. One staged
+    distinct-token pass shared by both output columns (r7)."""
+    base = df.select(
+        F.col(id_col), F.array_distinct(tokens(text_col)).alias("_dtoks")
+    )
+    return base.select(
         F.col(id_col),
-        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias("fingerprint"),
-        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.col("_dtoks")))).alias("fingerprint"),
+        F.size(F.col("_dtoks")).cast("long").alias("n_unique_tokens"),
     )
 
 
@@ -114,16 +124,14 @@ def _gram_rows(
     df: DataFrame, n: int, text_col: str, id_col: str
 ) -> DataFrame:
     """NON-distinct token n-gram occurrences: (id, gram) — one row per
-    occurrence, array-native construction (no explode-then-window)."""
-    toks = tokens(text_col)
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    occurrence, array-native construction (no explode-then-window). The
+    token array is materialized as a column BEFORE the gram lambda —
+    Catalyst does not share subexpressions across lambda bodies, so an
+    inlined tokenizer would re-split the document once per gram (r7)."""
+    base = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    return base.select(
+        F.col(id_col), F.explode(_gram_array(F.col("_toks"), n)).alias("gram")
+    )
 
 
 def _gram_array(toks: Column, n: int) -> Column:
@@ -137,42 +145,37 @@ def _gram_array(toks: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def _run_stats(grams_sorted: Column) -> Column:
-    """Run-length stats over a SORTED gram array, in one fold:
-    ``struct(prev, run, best_g, best_c, dup)`` where (best_g, best_c) is
-    the most frequent gram — ties to the lexicographically LARGEST, which
-    in ascending sorted order is simply the LATEST run to reach the best
-    count, so the fold never compares strings for the tie — and ``dup``
-    is the total occurrences sitting in runs of length ≥ 2."""
-    init = F.struct(
-        F.lit(None).cast("string").alias("prev"),
-        F.lit(0).cast("long").alias("run"),
-        F.lit(None).cast("string").alias("best_g"),
-        F.lit(0).cast("long").alias("best_c"),
-        F.lit(0).cast("long").alias("dup"),
-    )
+def _run_bounds(S: Column) -> Column:
+    """1-based start positions of the runs of a SORTED gram array: position
+    1 plus every position whose gram differs from its predecessor. All
+    primitive integer/string-compare ops — higher-order functions are
+    evaluated interpreted (never codegen), so per-element work must stay
+    minimal (an earlier fold carrying a 5-field struct accumulator
+    measured 2× slower than this formulation)."""
+    n = F.size(S)
+    return F.when(
+        n > 0,
+        F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: (i == F.lit(1))
+            | (F.element_at(S, i) != F.element_at(S, i - 1)),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
 
-    def step(acc: Column, g: Column) -> Column:
-        new_run = (
-            F.when(g == acc["prev"], acc["run"] + 1)
-            .otherwise(F.lit(1))
-            .cast("long")
-        )
-        better = new_run >= acc["best_c"]
-        return F.struct(
-            g.alias("prev"),
-            new_run.alias("run"),
-            F.when(better, g).otherwise(acc["best_g"]).alias("best_g"),
-            F.when(better, new_run).otherwise(acc["best_c"]).alias("best_c"),
-            (
-                acc["dup"]
-                + F.when(new_run == 2, F.lit(2))
-                .when(new_run > 2, F.lit(1))
-                .otherwise(F.lit(0))
-            ).cast("long").alias("dup"),
-        )
 
-    return F.aggregate(grams_sorted, init, step)
+def _run_lengths(B: Column, n: Column) -> Column:
+    """Run lengths from run start positions ``B`` over an ``n``-gram array:
+    ``L[j] = B[j+1] − B[j]`` (sentinel ``n+1`` past the last run)."""
+    nb = F.size(B)
+    return F.when(
+        nb > 0,
+        F.transform(
+            F.sequence(F.lit(1), nb),
+            lambda j: F.when(j < nb, F.element_at(B, (j + 1).cast("int")))
+            .otherwise(n + 1)
+            - F.element_at(B, j.cast("int")),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
 
 
 def repetition_features(
@@ -195,35 +198,60 @@ def repetition_features(
       appears more than once in the doc.
 
     Scale shape: a pure per-document projection — every signal depends on
-    one document only, so each doc sorts its own gram array and folds run
-    lengths in place (``array_sort`` + ``aggregate``): **zero shuffle,
-    zero explode**. The round-6 implementation exploded the corpus into
-    per-occurrence gram rows and paid two corpus-sized two-level hash
-    aggregations plus two joins back (optimization guide §2.4: remove
-    shuffles outright when the grouping key is the row itself). The
-    sorted-run tie rule reproduces ``max(struct(c, gram))`` exactly: equal
-    counts resolve to the later = lexicographically larger gram."""
-    toks = tokens(text_col)
-    bi = F.array_sort(_gram_array(toks, 2))
-    tri = F.array_sort(_gram_array(toks, 3))
-    return df.select(
+    one document only, so each doc sorts its own gram array and reads run
+    lengths off the sorted runs (``array_sort`` + boundary/length arrays
+    of primitive ints): **zero shuffle, zero explode**. The round-6
+    implementation exploded the corpus into per-occurrence gram rows and
+    paid two corpus-sized two-level hash aggregations plus two joins back
+    (optimization guide §2.4: remove shuffles outright when the grouping
+    key is the row itself; measured 5.0 s → 3.8 s at sf1.0, and the
+    removed shuffles are corpus-sized at 100 TB). The tie rule of
+    ``max(struct(c, gram))`` — equal counts resolve to the
+    lexicographically LARGEST gram — is reproduced by taking the LAST run
+    (``array_max`` of run indexes) that reaches the best count: in
+    ascending sorted order the later run IS the larger gram, so no string
+    comparison is needed for the tie at all."""
+    # tokenize ONCE into a column: the gram lambdas must not inline the
+    # split expression (no cross-lambda subexpression sharing — O(n²), r7)
+    st0 = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    st1 = st0.select(
         F.col(id_col),
-        _run_stats(bi).alias("_bs"),
-        _run_stats(tri).alias("_ts"),
-        F.size(bi).cast("long").alias("_nbi"),
-        F.size(tri).cast("long").alias("_ntri"),
-    ).select(
+        F.array_sort(_gram_array(F.col("_toks"), 2)).alias("S2"),
+        F.array_sort(_gram_array(F.col("_toks"), 3)).alias("S3"),
+    )
+    st2 = st1.select(
+        id_col, "S2",
+        _run_bounds(F.col("S2")).alias("B2"), F.size("S2").alias("n2"),
+        _run_bounds(F.col("S3")).alias("B3"), F.size("S3").alias("n3"),
+    )
+    st3 = st2.select(
+        id_col, "S2", "B2", "n2", "n3",
+        _run_lengths(F.col("B2"), F.col("n2")).alias("L2"),
+        _run_lengths(F.col("B3"), F.col("n3")).alias("L3"),
+    )
+    best_c = F.array_max("L2")
+    # last (= lexicographically largest) run index reaching the best count
+    best_j = F.array_max(
+        F.filter(
+            F.sequence(F.lit(1), F.size("L2")),
+            lambda j: F.element_at(F.col("L2"), j.cast("int")) == best_c,
+        )
+    )
+    # occurrences sitting in runs of length >= 2 = all minus singleton runs
+    dup3 = F.col("n3") - F.size(F.filter(F.col("L3"), lambda l: l == F.lit(1)))
+    return st3.select(
         F.col(id_col),
-        F.col("_bs.best_g").alias("top_bigram"),
-        F.col("_bs.best_c").alias("top_bigram_count"),
         F.when(
-            F.col("_nbi") > 0,
-            F.round(F.col("_bs.best_c") / F.col("_nbi"), 6),
-        ).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
-        F.when(
-            F.col("_ntri") > 0,
-            F.round(F.col("_ts.dup") / F.col("_ntri"), 6),
-        ).otherwise(F.lit(0.0)).alias("dup_trigram_frac"),
+            F.col("n2") > 0,
+            F.element_at(
+                F.col("S2"), F.element_at(F.col("B2"), best_j.cast("int")).cast("int")
+            ),
+        ).alias("top_bigram"),
+        F.coalesce(best_c.cast("long"), F.lit(0)).alias("top_bigram_count"),
+        F.when(F.col("n2") > 0, F.round(best_c / F.col("n2"), 6))
+        .otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+        F.when(F.col("n3") > 0, F.round(dup3 / F.col("n3"), 6))
+        .otherwise(F.lit(0.0)).alias("dup_trigram_frac"),
     )
 
 
@@ -418,7 +446,13 @@ def chunk_documents(
     stride = chunk_tokens - overlap
     if stride <= 0:
         raise ValueError("overlap must be smaller than chunk_tokens")
-    toks = tokens(text_col)
+    # tokenize ONCE into a column — referencing the split expression inside
+    # the window lambda would re-split the doc once per chunk (no
+    # cross-lambda subexpression sharing, r7)
+    base = df.where(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    )
+    toks = F.col("_toks")
     n = F.size(toks)
     # integer ceil via (x + stride - 1) div stride; Spark '/' on ints is
     # double division, so floor() lands back on the integer
@@ -431,7 +465,7 @@ def chunk_documents(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda c: F.slice(toks, c * stride + 1, chunk_tokens),
     )
-    out = df.where(F.length(F.trim(F.col(text_col))) > 0).select(
+    out = base.select(
         F.col(id_col),
         F.posexplode(windows).alias("chunk_id", "_w"),
     )

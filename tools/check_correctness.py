@@ -8,6 +8,7 @@ Usage: python tools/check_correctness.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -54,22 +55,26 @@ def main() -> int:
             sys.exit(2)
         qs = {n: f for n, f in qs.items() if n in only}
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         t0 = time.time()
         try:
             got = normalize(fn(spark, sf_dir).toPandas())
         except Exception as e:
             failures.append(name)
+            results[name] = {"status": "fail", "err": f"spark error: {e}"[:500]}
             print(f"FAIL {name}: spark error: {e}")
             continue
         sql = oracles.get(name)
         if sql is None:
+            results[name] = {"status": "rows_only", "spark_rows": int(len(got))}
             print(f"ok?  {name}: rows-only check, {len(got)} rows ({time.time()-t0:.1f}s)")
             continue
         try:
             want = normalize(con.execute(sql).df())
         except Exception as e:
             failures.append(name)
+            results[name] = {"status": "fail", "err": f"duckdb error: {e}"[:500]}
             print(f"FAIL {name}: duckdb error: {e}")
             continue
         status = []
@@ -92,11 +97,23 @@ def main() -> int:
                         status.append(f"  [{i}] {c}: spark={got[c][i]!r} duck={want[c][i]!r}")
         if status:
             failures.append(name)
+            results[name] = {"status": "fail", "err": "; ".join(status)[:500]}
             print(f"FAIL {name}: " + "; ".join(status))
         else:
+            results[name] = {
+                "status": "pass",
+                "rows": int(len(got)),
+                "secs": round(time.time() - t0, 1),
+            }
             print(f"PASS {name}: {len(got)} rows ({time.time()-t0:.1f}s)")
 
     print(f"\n{len(qs) - len(failures)}/{len(qs)} pass")
+    out_json = os.environ.get("CHECK_CORRECTNESS_JSON")
+    if out_json:
+        import json
+
+        with open(out_json, "w") as f:
+            json.dump({"sf_dir": sf_dir, "results": results}, f, indent=1)
     return 1 if failures else 0
 
 

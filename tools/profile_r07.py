@@ -70,8 +70,9 @@ def stage_frames(spark, sf_dir: str, which: str):
 
     from cdc_tools_spark.ops import dedup as D
     from cdc_tools_spark.ops import text as X
+    from cdc_tools_spark.sources.scan import parallel_read
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = parallel_read(spark, os.path.join(sf_dir, "documents.parquet"))
     frames: dict[str, object] = {}
     if which in ("minhash", "all"):
         sh = D.word_shingles(docs)
