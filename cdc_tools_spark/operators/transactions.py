@@ -25,6 +25,11 @@ def group_transactions(
     Mirrors ``TransactionBatch`` (TransactionBatch.cs:8-19): the set of
     changes sharing one commit LSN, with the statement-ordering bounds the
     coordinator tracked imperatively.
+
+    (r7 audit note: a hand-written two-level ``(lsn, key)`` pre-aggregation
+    was benchmarked and plan-diffed against this form — Spark's single
+    count-distinct rewrite already plans the identical Expand-free
+    PartialMerge shape, so the declarative form stays.)
     """
     return changes.groupBy("lsn").agg(
         F.count(F.lit(1)).alias("n_changes"),

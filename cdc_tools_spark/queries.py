@@ -51,7 +51,13 @@ compacted AS (SELECT * FROM ranked WHERE rn = 1)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return parallel_read(spark, os.path.join(sf_dir, f"{name}.parquet"))
+    # plain read: _t feeds scan→aggregate/join shapes (TPC-H-ish side
+    # queries) where map-side partial aggregation collapses the data in
+    # the scan stage — an up-front repartition of the raw table costs more
+    # than the single-task scan it parallelizes (r7 A/B: pricing_summary
+    # 0.7 s plain vs 1.9 s repartitioned). Derivation-heavy pipelines use
+    # sources.scan.parallel_read instead.
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 # ---------------------------------------------------------------------------
@@ -61,7 +67,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1/S9: the ordered change-event scan itself."""
-    return changelog_from_events(spark, sf_dir)
+    # plain scan→project: no downstream shuffle to feed, so the
+    # unsplittable-input repartition would only add an exchange (r7)
+    return changelog_from_events(spark, sf_dir, parallel=False)
 
 
 def q_cdc_lsn_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -117,7 +117,10 @@ def q_key_profile_events(spark, sf_dir):
     share and cumulative share — the pre-shuffle skew diagnostic."""
     from cdc_tools_spark.ops.profile import key_profile
 
-    ev = parallel_read(spark, os.path.join(sf_dir, "events.parquet"))
+    # plain read: one hash aggregation with map-side partial combine —
+    # repartitioning the raw events first shuffles more bytes than the
+    # single-task scan costs (r7 A/B)
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     return key_profile(ev, "user_id", top_k=20)
 
 
@@ -133,7 +136,11 @@ def q_pack_sequences(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
-    return D.exact_dedup_groups(_docs(spark, sf_dir))
+    # plain read: one sha256 + hash aggregation — partial agg collapses in
+    # the scan stage, so the parallel_read shuffle would cost more than it
+    # buys (r7 A/B: 0.46 s plain vs 0.86 s repartitioned)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return D.exact_dedup_groups(docs)
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):

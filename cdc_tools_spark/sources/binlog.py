@@ -160,15 +160,28 @@ def changelog_sql(dialect: str = "duckdb") -> str:
     return _CHANGELOG_TEMPLATE.format(q=q)
 
 
-def changelog_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def changelog_from_events(
+    spark: SparkSession, sf_dir: str, parallel: bool = True
+) -> DataFrame:
     """F2-shaped change log derived from ``{sf_dir}/events.parquet``.
 
     Shares one SQL derivation with the DuckDB oracle so every downstream
     operator is oracle-checkable end to end.
+
+    ``parallel`` routes the read through
+    :func:`cdc_tools_spark.sources.scan.parallel_read` (unsplittable-input
+    guard) — the right default for the heavy consumers (compaction, merge
+    replays); pass ``False`` for plain scan→project consumers where the
+    repartition costs more than the single-task scan (r7).
     """
     from cdc_tools_spark.sources.scan import parallel_read
 
-    parallel_read(spark, f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+    src = (
+        parallel_read(spark, f"{sf_dir}/events.parquet")
+        if parallel
+        else spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+    src.createOrReplaceTempView("events")
     return spark.sql(changelog_sql("spark"))
 
 
