@@ -370,6 +370,7 @@ def topk_cosine_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[tuple[int, list[float]]] | DataFrame | None = None,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: base vectors live in their nearest
     centroid's list; each query probes its ``n_probe`` nearest lists and
@@ -388,9 +389,15 @@ def topk_cosine_ivf(
     base = ivf_assignments(df, n_lists, 1, id_col, vec_col, centroids).select(
         F.col(id_col).alias("id_b"), "list_id"
     )
-    probes = ivf_assignments(df, n_lists, n_probe, id_col, vec_col, centroids).select(
-        F.col(id_col).alias("id_a"), "list_id"
-    )
+    # ``queries`` bounds the probe side to an explicit query set: per-query
+    # top-k is independent, so serving a sample never needs the corpus'
+    # own probe assignments (r7, ADVICE r6 #2 — the recall sweep
+    # previously paid a full-corpus serving job per probe setting and
+    # filtered afterwards)
+    probes = ivf_assignments(
+        queries if queries is not None else df,
+        n_lists, n_probe, id_col, vec_col, centroids,
+    ).select(F.col(id_col).alias("id_a"), "list_id")
     vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
     pairs = (
         probes.join(base, "list_id")
@@ -448,8 +455,12 @@ def ivf_recall_sweep(
     cents = ivf_centroids(df, n_lists, id_col, vec_col)
     rows = []
     for p in probes:
+        # the probe side is bounded by the sample INSIDE the serving call
+        # (identical results: per-query top-k is independent); the semi-
+        # join stays as a cheap belt-and-braces id filter
         approx = topk_cosine_ivf(
-            df, k, n_lists, p, id_col, vec_col, centroids=cents
+            df, k, n_lists, p, id_col, vec_col, centroids=cents,
+            queries=queries,
         ).join(qids, "id_a", "left_semi")
         hits = (
             exact.join(approx.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
