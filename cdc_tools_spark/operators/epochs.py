@@ -105,9 +105,12 @@ def _plan_exact(
         "_chunk", F.floor((F.col("lsn") - F.lit(lo)) / F.lit(width)).cast("long")
     )
     totals = chunked.groupBy("_chunk").agg(F.sum("cnt").alias("_t"))
-    w_chunks = Window.partitionBy(F.lit(0)).orderBy("_chunk").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+    # constant-valued but NON-foldable partition key (a foldable literal is
+    # pruned from the window spec): marks the ≤ n_chunks-row window as
+    # bounded-by-construction without the WindowExec no-partition warning
+    w_chunks = Window.partitionBy(
+        F.pmod(F.xxhash64(F.col("_chunk")), F.lit(1))
+    ).orderBy("_chunk").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
         "_chunk", F.coalesce(F.sum("_t").over(w_chunks), F.lit(0)).alias("_off")
     )

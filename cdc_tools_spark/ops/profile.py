@@ -36,11 +36,14 @@ def key_profile(df: DataFrame, key_col: str, top_k: int = 20) -> DataFrame:
     total = counts.agg(F.sum("n_rows").alias("_total"))
     order = [F.desc("n_rows"), F.col(key_col).asc_nulls_last()]
     top = counts.orderBy(*order).limit(top_k).crossJoin(F.broadcast(total))
-    # literal partition key: the window runs over the top_k surviving rows
-    # only (bounded by construction) — the constant key marks that as
-    # intentional instead of tripping WindowExec's no-partition warning on
-    # every run (r7: keeps bench/ops logs signal)
-    w = Window.partitionBy(F.lit(0)).orderBy(*order)
+    # constant-valued but NON-foldable partition key (a foldable literal
+    # is pruned from the window spec by the optimizer): the window runs
+    # over the top_k surviving rows only (bounded by construction) — the
+    # key marks that as intentional instead of tripping WindowExec's
+    # no-partition warning on every run (r7: keeps bench/ops logs signal)
+    w = Window.partitionBy(
+        F.pmod(F.xxhash64(F.col("n_rows")), F.lit(1))
+    ).orderBy(*order)
     return (
         top.withColumn("rank", F.row_number().over(w).cast("long"))
         .withColumn("share", F.round(F.col("n_rows") / F.col("_total"), 6))

