@@ -92,8 +92,8 @@ def _plan_exact(
     Now LSNs hash into ≤ ``n_chunks`` ordered ranges; the within-chunk
     running sum is a window PARTITIONED by chunk (parallel, bounded by the
     chunk's distinct LSNs) and only the ≤ ``n_chunks`` chunk totals pass
-    through a single-partition window (bounded by construction, hence the
-    literal partition key to mark it intentional). Epoch ids are the same
+    through a single-partition window (bounded by construction, marked by
+    a constant non-foldable partition key). Epoch ids are the same
     exclusive-cumulative-count ÷ target as before — output identical."""
     per_lsn = log.groupBy("lsn").agg(F.count(F.lit(1)).alias("cnt"))
     row = per_lsn.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")).first()
