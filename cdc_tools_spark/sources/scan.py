@@ -27,7 +27,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Inputs smaller than this are not worth an extra exchange: the whole table
 # is a couple of scan tasks' worth of bytes and typically feeds a broadcast.
-MIN_PARALLELIZE_BYTES = 1 << 20
+# 256 KiB keeps dimension tables (region/nation/…) on the plain path while
+# still parallelizing sub-MiB document corpora whose downstream work is
+# derivation-heavy (r7 A/B at sf0.1: the 594 KiB documents table gated the
+# whole text/dedup plane to one task below the former 1 MiB threshold).
+MIN_PARALLELIZE_BYTES = 256 << 10
 
 
 def _local_path(uri: str) -> str | None:
